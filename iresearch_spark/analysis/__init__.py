@@ -1,0 +1,6 @@
+from iresearch_spark.analysis.analyzers import (  # noqa: F401
+    ANALYZERS,
+    CODE_TOKEN_PATTERN,
+    get_analyzer,
+    tokenize_series,
+)

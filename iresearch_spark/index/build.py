@@ -1,0 +1,336 @@
+"""Index build: corpus -> per-segment inverted index tables + manifest.
+
+Spark-first reading of the reference indexing dataflow
+(`core/index/segment_writer.cpp` + `core/index/field_data.cpp:985-1162`):
+
+- segment assignment: ``crc32(repo \\0 path \\0 commit) % num_segments`` —
+  deterministic and parallelism-invariant, so doc ids survive task retries and
+  resume (the reference's per-thread segment sharding, made reproducible).
+- dense per-segment ``doc_id`` starting at 1 (`core/utils/type_limits.hpp:45-47`)
+  via ``row_number() over (partition by segment order by repo, path, commit)``.
+- one grouped Arrow UDF per segment = the tokenize→invert→flush pipeline
+  (`field_data::invert` :985-1080 + flush :1124-1162), fully numpy-vectorized,
+  emitting one row per term with delta+varint posting blob, block offsets and
+  block-max (WAND) metadata.
+- ``docmeta`` table = docmap + norms in one: identity, sha256 invariant,
+  Norm2 ``dl`` (raw token count, `core/index/norm.hpp:135-142`), computed
+  JVM-side with ``regexp_extract_all`` — which also cross-checks the Python
+  tokenizer (the two must agree on token counts; tested).
+- waves = commit generations: segments are built in bounded batches; each wave
+  ends with per-segment checkpoints + an atomic manifest publish
+  (`index_writer.cpp:2360-2380` two-phase commit). Resume skips checkpointed
+  segments and reproduces a byte-identical manifest.
+
+Scale notes (100 TB / 1000 executors): the only wide exchange is the hash
+shuffle on ``segment_id`` (reused logically by the window sort and the grouped
+UDF); ``num_segments`` bounds per-task memory exactly like the reference's
+``segment_docs_max`` (`index_writer.hpp:122-139`). Everything downstream of
+the shuffle is embarrassingly parallel per segment.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iresearch_spark.analysis import CODE_TOKEN_PATTERN, get_analyzer
+from iresearch_spark.codec import encode_positions_batch, encode_postings_batch
+from iresearch_spark.index.manifest import (
+    Manifest,
+    read_checkpoints,
+    write_checkpoint,
+    write_manifest,
+)
+
+SEGMENTS_SCHEMA = (
+    "segment_id int, field string, term string, docs_count int, total_tf long, "
+    "postings binary, block_offsets array<long>, last_docs array<long>, "
+    "max_freqs array<long>, min_norms array<long>, "
+    "positions binary, pos_offsets array<long>"
+)
+
+DOCMETA_SCHEMA = (
+    "segment_id int, doc_id int, repo string, path string, commit string, "
+    "lang string, content_sha256 string, dl int"
+)
+
+
+def segment_expr(num_segments: int):
+    """Deterministic segment assignment; replicable in plain Python (oracle)."""
+    key = F.concat_ws("\x00", F.col("repo"), F.col("path"), F.col("commit"))
+    return F.pmod(F.crc32(key), F.lit(num_segments)).cast("int")
+
+
+def assign_doc_ids(corpus: DataFrame, num_segments: int) -> DataFrame:
+    w = Window.partitionBy("segment_id").orderBy("repo", "path", "commit")
+    return corpus.withColumn("segment_id", segment_expr(num_segments)).withColumn(
+        "doc_id", F.row_number().over(w)
+    )
+
+
+def _invert_kernel(analyzer_name: str, field: str, with_positions: bool):
+    analyzer = get_analyzer(analyzer_name)
+
+    def invert(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(
+                columns=[c.split()[0] for c in SEGMENTS_SCHEMA.split(", ")]
+            )
+        pdf = pdf.sort_values("doc_id")
+        segment_id = int(pdf["segment_id"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        tokens = analyzer(pdf["content"])
+        counts = tokens.str.len().to_numpy(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(
+                columns=[c.split()[0] for c in SEGMENTS_SCHEMA.split(", ")]
+            )
+        flat_terms = tokens.explode().dropna().to_numpy(dtype=object)
+        doc_rep = np.repeat(doc_ids, counts)
+        doc_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, counts)
+
+        codes, uniques = pd.factorize(flat_terms, sort=False)
+        # lexicographic term order (reference sorts terms at flush,
+        # field_data.cpp:1145-1148); rank remap keeps the sort O(V log V)
+        term_order = np.argsort(uniques, kind="stable")
+        rank = np.empty(len(uniques), dtype=np.int64)
+        rank[term_order] = np.arange(len(uniques))
+        sort_key = rank[codes]
+        order = np.lexsort((doc_rep, sort_key))  # stable: keeps pos ascending
+        sc, sd, sp = sort_key[order], doc_rep[order], pos[order]
+
+        posting_start = np.empty(total, dtype=bool)
+        posting_start[0] = True
+        posting_start[1:] = (sc[1:] != sc[:-1]) | (sd[1:] != sd[:-1])
+        pstarts = np.flatnonzero(posting_start)
+        freqs = np.diff(np.append(pstarts, total))
+        p_docs = sd[pstarts]
+        p_terms = sc[pstarts]
+
+        term_start_mask = np.empty(pstarts.size, dtype=bool)
+        term_start_mask[0] = True
+        term_start_mask[1:] = p_terms[1:] != p_terms[:-1]
+        tstarts = np.flatnonzero(term_start_mask)
+        term_lengths = np.diff(np.append(tstarts, pstarts.size))
+        term_ids = p_terms[tstarts]  # == 0..V-1 since sorted
+
+        dl_lookup = np.zeros(int(doc_ids.max()) + 1, dtype=np.int64)
+        dl_lookup[doc_ids] = counts
+        p_dls = dl_lookup[p_docs]
+
+        blobs, offs, lasts, maxf, minn = encode_postings_batch(
+            p_docs, freqs, p_dls, term_lengths
+        )
+        total_tf = np.add.reduceat(freqs, tstarts)
+        terms_sorted = uniques[term_order][term_ids]
+
+        out = {
+            "segment_id": np.full(term_lengths.size, segment_id, dtype=np.int32),
+            "field": field,
+            "term": terms_sorted,
+            "docs_count": term_lengths.astype(np.int32),
+            "total_tf": total_tf.astype(np.int64),
+            "postings": blobs,
+            "block_offsets": offs,
+            "last_docs": lasts,
+            "max_freqs": maxf,
+            "min_norms": minn,
+        }
+        if with_positions:
+            pblobs, poffs = encode_positions_batch(freqs, sp, term_lengths)
+            out["positions"] = pblobs
+            out["pos_offsets"] = poffs
+        else:
+            out["positions"] = None
+            out["pos_offsets"] = None
+        return pd.DataFrame(out)
+
+    return invert
+
+
+def _plan_waves(num_segments: int, waves: int) -> list[list[int]]:
+    ids = list(range(num_segments))
+    waves = max(1, min(waves, num_segments))
+    size = (num_segments + waves - 1) // waves
+    return [ids[i : i + size] for i in range(0, num_segments, size)]
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_dir: str,
+    num_segments: int = 16,
+    field: str = "content",
+    analyzer: str = "code",
+    with_positions: bool = True,
+    waves: int = 1,
+    fail_after_waves: int | None = None,
+    resume: bool = False,
+) -> dict:
+    """Build (or resume) the index; returns build metrics.
+
+    ``fail_after_waves`` injects a driver-side failure after N committed waves
+    (for the resume test, FIXTURES.md F6).
+    """
+    import glob
+    import os
+    import shutil
+
+    t0 = time.time()
+    docs = assign_doc_ids(corpus, num_segments)
+
+    if not resume and os.path.isdir(index_dir):
+        shutil.rmtree(index_dir)
+    done = set(read_checkpoints(index_dir)) if resume else set()
+    if resume:
+        # drop data of segments that were written but never checkpointed
+        # (died between data write and checkpoint): rebuild them cleanly
+        for sub in ("docmeta", "segments"):
+            base = f"{index_dir}/{sub}"
+            for d in glob.glob(f"{base}/segment_id=*"):
+                if int(d.rsplit("=", 1)[1]) not in done:
+                    shutil.rmtree(d)
+    plan = _plan_waves(num_segments, waves)
+    invert = _invert_kernel(analyzer, field, with_positions)
+
+    seg_records: dict[int, dict] = dict(read_checkpoints(index_dir)) if resume else {}
+    committed_waves = 0
+    total_docs = 0
+
+    for wave_idx, seg_batch in enumerate(plan):
+        pending = [s for s in seg_batch if s not in done]
+        if pending:
+            sub = docs.filter(F.col("segment_id").isin(pending))
+
+            docmeta = sub.select(
+                "segment_id",
+                "doc_id",
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
+                    "content_sha256"
+                ),
+                F.size(
+                    F.regexp_extract_all(
+                        F.lower(F.coalesce(F.col("content"), F.lit(""))),
+                        F.lit(CODE_TOKEN_PATTERN),
+                        F.lit(0),
+                    )
+                ).alias("dl"),
+            )
+            docmeta.write.mode("append").partitionBy("segment_id").parquet(
+                f"{index_dir}/docmeta"
+            )
+
+            seg_df = (
+                sub.select("segment_id", "doc_id", "content")
+                .groupBy("segment_id")
+                .applyInPandas(invert, schema=SEGMENTS_SCHEMA)
+            )
+            seg_df.write.mode("append").partitionBy("segment_id").parquet(
+                f"{index_dir}/segments"
+            )
+
+            # per-segment stats: one tiny driver-side collect per wave
+            dstats = (
+                spark.read.parquet(f"{index_dir}/docmeta")
+                .filter(F.col("segment_id").isin(pending))
+                .groupBy("segment_id")
+                .agg(
+                    F.count("*").alias("docs"),
+                    F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias(
+                        "docs_with_field"
+                    ),
+                    F.sum("dl").alias("total_term_freq"),
+                )
+            )
+            sstats = (
+                spark.read.parquet(f"{index_dir}/segments")
+                .filter(F.col("segment_id").isin(pending))
+                .groupBy("segment_id")
+                .agg(
+                    F.count("*").alias("terms"),
+                    F.sum("docs_count").alias("sum_doc_freq"),
+                    F.sum(F.length("postings")).alias("postings_bytes"),
+                    F.min("term").alias("min_term"),
+                    F.max("term").alias("max_term"),
+                    F.expr(
+                        "bit_xor(xxhash64(term, docs_count, total_tf, postings))"
+                    ).alias("content_hash"),
+                )
+            )
+            stats = {
+                r["segment_id"]: r.asDict()
+                for r in dstats.join(sstats, "segment_id", "left").collect()
+            }
+            for seg in pending:
+                r = stats.get(
+                    seg,
+                    {
+                        "segment_id": seg,
+                        "docs": 0,
+                        "docs_with_field": 0,
+                        "total_term_freq": 0,
+                        "terms": 0,
+                        "sum_doc_freq": 0,
+                        "postings_bytes": 0,
+                        "min_term": None,
+                        "max_term": None,
+                        "content_hash": 0,
+                    },
+                )
+                rec = {
+                    "segment_id": seg,
+                    "field": field,
+                    "docs": int(r.get("docs") or 0),
+                    "docs_with_field": int(r.get("docs_with_field") or 0),
+                    "total_term_freq": int(r.get("total_term_freq") or 0),
+                    "terms": int(r.get("terms") or 0),
+                    "sum_doc_freq": int(r.get("sum_doc_freq") or 0),
+                    "postings_bytes": int(r.get("postings_bytes") or 0),
+                    "min_term": r.get("min_term"),
+                    "max_term": r.get("max_term"),
+                    "content_hash": int(r.get("content_hash") or 0),
+                    "lineage": {"wave": wave_idx, "generation": 0},
+                }
+                write_checkpoint(index_dir, rec)
+                seg_records[seg] = rec
+                done.add(seg)
+
+        # commit: publish manifest covering everything checkpointed so far
+        write_manifest(
+            index_dir,
+            Manifest(
+                format_version=1,
+                num_segments=num_segments,
+                field_name=field,
+                analyzer=analyzer,
+                with_positions=with_positions,
+                segments=sorted(seg_records.values(), key=lambda s: s["segment_id"]),
+            ),
+        )
+        committed_waves += 1
+        if fail_after_waves is not None and committed_waves >= fail_after_waves:
+            raise RuntimeError(
+                f"injected failure after {committed_waves} committed waves"
+            )
+
+    total_docs = sum(r["docs"] for r in seg_records.values())
+    elapsed = time.time() - t0
+    return {
+        "docs": total_docs,
+        "segments": len(seg_records),
+        "terms": sum(r["terms"] for r in seg_records.values()),
+        "postings_bytes": sum(r["postings_bytes"] for r in seg_records.values()),
+        "elapsed_sec": elapsed,
+        "docs_per_sec": total_docs / elapsed if elapsed > 0 else 0.0,
+    }

@@ -1,0 +1,101 @@
+"""Index manifest + per-segment checkpoints (two-phase-commit analogue).
+
+The reference publishes a new index generation by writing ``segments_N`` to a
+temp file and renaming it (`core/index/index_writer.cpp:2360-2380`). We do the
+same: the manifest JSON is written to ``manifest.json.tmp`` and atomically
+renamed. Per-segment checkpoint files carry lineage + build metrics and make a
+partially-completed build resumable: a segment whose checkpoint exists is
+never rebuilt.
+
+The manifest content is fully deterministic (counts, bytes, content hashes,
+lineage) — wall-clock timings live in ``build_log.json`` which is NOT part of
+the committed state — so an interrupted-then-resumed build produces a
+byte-identical manifest to an uninterrupted one (FIXTURES.md F6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Manifest:
+    format_version: int
+    num_segments: int
+    field_name: str
+    analyzer: str
+    with_positions: bool
+    segments: list[dict] = field(default_factory=list)
+
+    def to_json(self) -> str:
+        payload = {
+            "format_version": self.format_version,
+            "num_segments": self.num_segments,
+            "field": self.field_name,
+            "analyzer": self.analyzer,
+            "with_positions": self.with_positions,
+            "segments": sorted(self.segments, key=lambda s: s["segment_id"]),
+        }
+        return json.dumps(payload, sort_keys=True, separators=(",", ":")) + "\n"
+
+
+def manifest_path(index_dir: str) -> str:
+    return os.path.join(index_dir, "manifest.json")
+
+
+def write_manifest(index_dir: str, manifest: Manifest) -> None:
+    path = manifest_path(index_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(manifest.to_json())
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)  # atomic publish == Commit()
+
+
+def read_manifest(index_dir: str) -> Manifest | None:
+    path = manifest_path(index_dir)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return Manifest(
+        format_version=d["format_version"],
+        num_segments=d["num_segments"],
+        field_name=d["field"],
+        analyzer=d["analyzer"],
+        with_positions=d["with_positions"],
+        segments=d["segments"],
+    )
+
+
+def checkpoint_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "checkpoints")
+
+
+def checkpoint_path(index_dir: str, segment_id: int) -> str:
+    return os.path.join(checkpoint_dir(index_dir), f"seg-{segment_id:06d}.json")
+
+
+def write_checkpoint(index_dir: str, record: dict) -> None:
+    os.makedirs(checkpoint_dir(index_dir), exist_ok=True)
+    path = checkpoint_path(index_dir, record["segment_id"])
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f, sort_keys=True)
+    os.rename(tmp, path)
+
+
+def read_checkpoints(index_dir: str) -> dict[int, dict]:
+    d = checkpoint_dir(index_dir)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(d):
+        return out
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                rec = json.load(f)
+            out[int(rec["segment_id"])] = rec
+    return out

@@ -1,0 +1,124 @@
+"""End-to-end index-build tests: structure, invariants, determinism.
+
+The index-structure oracle role of the reference's
+`tests/index/assert_format.{hpp,cpp}`: rebuild the expected index naively in
+pandas and compare term-by-term, posting-by-posting.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from iresearch_spark.analysis import get_analyzer
+from iresearch_spark.codec import decode_positions, decode_postings
+from iresearch_spark.corpus import generate_corpus, make_corpus_pdf
+from iresearch_spark.index.build import build_index
+from iresearch_spark.index.manifest import read_manifest
+
+N_DOCS = 300
+N_SEGMENTS = 4
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("idx"))
+    corpus = generate_corpus(spark, N_DOCS, num_partitions=3, min_tokens=20, max_tokens=300)
+    metrics = build_index(spark, corpus, index_dir, num_segments=N_SEGMENTS)
+    return index_dir, metrics
+
+
+def _naive_index(pdf: pd.DataFrame):
+    """Independent naive inverted index (python dicts) for comparison."""
+    import binascii
+
+    analyzer = get_analyzer("code")
+    pdf = pdf.copy()
+    pdf["segment_id"] = [
+        binascii.crc32("\x00".join([r, p, c]).encode()) % N_SEGMENTS
+        for r, p, c in zip(pdf["repo"], pdf["path"], pdf["commit"])
+    ]
+    out = {}  # (segment, term) -> {doc: (freq, positions)}
+    dls = {}  # (segment, doc_id) -> dl
+    for seg, g in pdf.groupby("segment_id"):
+        g = g.sort_values(["repo", "path", "commit"])
+        for local, (_, row) in enumerate(g.iterrows(), start=1):
+            toks = analyzer(pd.Series([row["content"]])).iloc[0]
+            dls[(seg, local)] = len(toks)
+            for position, t in enumerate(toks):
+                entry = out.setdefault((seg, t), {})
+                freq, poss = entry.get(local, (0, []))
+                entry[local] = (freq + 1, poss + [position])
+    return out, dls
+
+
+def test_manifest_and_metrics(built):
+    index_dir, metrics = built
+    m = read_manifest(index_dir)
+    assert m is not None
+    assert m.num_segments == N_SEGMENTS
+    assert sum(s["docs"] for s in m.segments) == N_DOCS
+    assert metrics["docs"] == N_DOCS
+    assert metrics["postings_bytes"] > 0
+
+
+def test_postings_match_naive_index(spark, built):
+    index_dir, _ = built
+    seg = spark.read.parquet(f"{index_dir}/segments").toPandas()
+    expected, dls = _naive_index(make_corpus_pdf(N_DOCS, min_tokens=20, max_tokens=300))
+
+    got_keys = set(zip(seg["segment_id"], seg["term"]))
+    assert got_keys == set(expected)
+
+    rng = np.random.default_rng(3)
+    sample = rng.choice(len(seg), size=min(500, len(seg)), replace=False)
+    for i in sample:
+        row = seg.iloc[i]
+        exp = expected[(row["segment_id"], row["term"])]
+        docs, freqs = decode_postings(row["postings"], row["docs_count"])
+        exp_docs = sorted(exp)
+        assert docs.tolist() == exp_docs
+        assert freqs.tolist() == [exp[d][0] for d in exp_docs]
+        assert row["total_tf"] == sum(f for f, _ in exp.values())
+        flat_pos = decode_positions(row["positions"], freqs)
+        exp_pos = [p for d in exp_docs for p in exp[d][1]]
+        assert flat_pos.tolist() == exp_pos
+        # blockmax invariants
+        assert list(row["last_docs"])[-1] == exp_docs[-1]
+        assert max(row["max_freqs"]) == max(f for f, _ in exp.values())
+
+
+def test_docmeta_invariants(spark, built):
+    """dl (JVM regexp) == python analyzer token count; sha256 matches source."""
+    import hashlib
+
+    index_dir, _ = built
+    dm = spark.read.parquet(f"{index_dir}/docmeta").toPandas()
+    assert len(dm) == N_DOCS
+    src = make_corpus_pdf(N_DOCS, min_tokens=20, max_tokens=300)
+    analyzer = get_analyzer("code")
+    by_key = {(r["repo"], r["path"]): r for _, r in src.iterrows()}
+    for _, row in dm.sample(n=100, random_state=5).iterrows():
+        s = by_key[(row["repo"], row["path"])]
+        toks = analyzer(pd.Series([s["content"]])).iloc[0]
+        assert row["dl"] == len(toks)
+        assert row["content_sha256"] == hashlib.sha256(s["content"].encode()).hexdigest()
+    # dense doc ids starting at 1 per segment
+    for seg, g in dm.groupby("segment_id"):
+        ids = sorted(g["doc_id"])
+        assert ids == list(range(1, len(g) + 1))
+
+
+def test_build_deterministic_across_parallelism(spark, built):
+    """Same corpus at different partitioning -> identical segment hashes."""
+    index_dir, _ = built
+    m1 = read_manifest(index_dir)
+    corpus = generate_corpus(spark, N_DOCS, num_partitions=7, min_tokens=20, max_tokens=300)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d2:
+        build_index(spark, corpus, d2, num_segments=N_SEGMENTS)
+        m2 = read_manifest(d2)
+    h1 = {s["segment_id"]: s["content_hash"] for s in m1.segments}
+    h2 = {s["segment_id"]: s["content_hash"] for s in m2.segments}
+    assert h1 == h2
