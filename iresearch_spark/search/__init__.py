@@ -1,0 +1,17 @@
+from iresearch_spark.search.filters import (  # noqa: F401
+    All,
+    And,
+    Empty,
+    Fuzzy,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    TermF,
+    TermRange,
+    TermsF,
+    Wildcard,
+    rewrite,
+)
+from iresearch_spark.search.scorers import BM25, TFIDF, BoostScore  # noqa: F401
+from iresearch_spark.search.executor import SearchEngine  # noqa: F401

@@ -1,0 +1,586 @@
+"""Query execution: prepare (global stats) -> per-segment vectorized kernel.
+
+Mirrors the reference query lifecycle (`core/search/filter.hpp:38-99`,
+SURVEY §3.2) Spark-first:
+
+1. **prepare** (driver): rewrite the filter tree, expand multi-term leaves
+   against the term dictionary (a pushed-down scan of the segments table),
+   collect *global* stats — docs_with_field / total_term_freq from the
+   manifest, docs_with_term via one aggregate over the needed postings rows —
+   and bake per-term-instance score constants (c0) exactly like
+   `Scorer::collect` (`bm25.cpp:366-410`). Global, never per-segment stats:
+   the rank-identity requirement of `term_filter.cpp:92-129`.
+2. **execute** (cluster): cogroup the needed postings rows with the per-doc
+   norms by segment; one Arrow kernel per segment evaluates the boolean tree
+   with numpy set ops (conjunction = intersect1d ordered by cost,
+   disjunction = bincount-union with min_match, exclusion = isin mask —
+   SURVEY §2.5) and returns the segment-local top-k.
+3. **reduce**: global ``orderBy(score desc, segment_id, doc_id).limit(k)``
+   (ties broken by ascending docID, like the reference test expectations),
+   then a broadcast join back to docmeta for (repo, path, commit) identity.
+
+Block-max WAND (`formats_10.cpp:2426-2806` wanderator, adapted to a batch
+engine): for single-term / flat-disjunction queries the kernel first builds a
+dense per-doc score upper bound from the blockmax columns *without touching
+posting blobs*, bootstraps a threshold from the highest-upper-bound candidate
+docs, then decodes only blocks that can contain a top-k doc. Upper-bound
+arithmetic runs in float64 with a nextafter margin so pruning can never drop
+a doc the exhaustive float32 scorer would keep; WAND-on therefore returns
+bit-identical results to WAND-off (tested).
+
+Scan-side efficiency: the term filter and the field filter are pushed into
+the Parquet scan of the segments table (In/StartsWith/Like predicates); the
+positions/pos_offsets columns are only selected for phrase queries (column
+pruning == the reference's separate .pos file).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iresearch_spark.codec import (
+    decode_blocks,
+    decode_positions,
+    decode_postings,
+)
+from iresearch_spark.index.manifest import read_manifest
+from iresearch_spark.search.filters import (
+    All,
+    And,
+    Empty,
+    Filter,
+    Fuzzy,
+    Not,
+    Or,
+    Phrase,
+    Prefix,
+    TermF,
+    TermRange,
+    TermsF,
+    Wildcard,
+    rewrite,
+)
+from iresearch_spark.search.scorers import BM25
+
+
+@dataclass
+class _Prepared:
+    tree: dict
+    instances: list[dict]  # {"term": str, "c0": float, "scored": bool}
+    needs_positions: bool
+    consts: dict
+    needed_terms: list[str]
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, index_dir: str, scorer=None):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.scorer = scorer or BM25()
+        m = read_manifest(index_dir)
+        if m is None:
+            raise FileNotFoundError(f"no manifest in {index_dir}")
+        self.manifest = m
+        self.field = m.field_name
+        self.docs_with_field = sum(s["docs_with_field"] for s in m.segments)
+        self.total_term_freq = sum(s["total_term_freq"] for s in m.segments)
+
+    # ------------------------------------------------------------- helpers
+    def segments_df(self, with_positions: bool) -> DataFrame:
+        cols = [
+            "segment_id", "field", "term", "docs_count", "total_tf",
+            "postings", "block_offsets", "last_docs", "max_freqs", "min_norms",
+        ]
+        if with_positions:
+            cols += ["positions", "pos_offsets"]
+        return self.spark.read.parquet(f"{self.index_dir}/segments").select(*cols)
+
+    def norms_df(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/docmeta").select(
+            "segment_id", "doc_id", "dl"
+        )
+
+    def docmeta_df(self) -> DataFrame:
+        return self.spark.read.parquet(f"{self.index_dir}/docmeta")
+
+    def _dictionary(self, predicate) -> list[tuple[str, int]]:
+        """Distinct matching terms + global docs_count, predicate pushed down."""
+        rows = (
+            self.spark.read.parquet(f"{self.index_dir}/segments")
+            .filter((F.col("field") == self.field) & predicate)
+            .groupBy("term")
+            .agg(F.sum("docs_count").alias("df"))
+            .collect()
+        )
+        return [(r["term"], int(r["df"])) for r in rows]
+
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        rows = (
+            self.spark.read.parquet(f"{self.index_dir}/segments")
+            .filter(
+                (F.col("field") == self.field) & F.col("term").isin(list(set(terms)))
+            )
+            .groupBy("term")
+            .agg(F.sum("docs_count").alias("df"))
+            .collect()
+        )
+        out = {t: 0 for t in terms}
+        out.update({r["term"]: int(r["df"]) for r in rows})
+        return out
+
+    # ------------------------------------------------------------- prepare
+    def prepare(self, f: Filter, dtype_name: str = "float32") -> _Prepared:
+        dtype = np.float32 if dtype_name == "float32" else np.float64
+        f = rewrite(f)
+        scorer = self.scorer
+        norm_const, norm_length = scorer.field_consts(
+            self.docs_with_field, self.total_term_freq, dtype
+        )
+        instances: list[dict] = []
+        needs_positions = False
+
+        # pass 1: collect literal terms to fetch dfs in one job
+        literal_terms: list[str] = []
+
+        def collect_terms(node: Filter):
+            if isinstance(node, TermF):
+                literal_terms.append(node.term)
+            elif isinstance(node, TermsF):
+                literal_terms.extend(node.terms)
+            elif isinstance(node, Phrase):
+                literal_terms.extend(node.terms)
+            elif isinstance(node, (And, Or)):
+                for c in node.children:
+                    collect_terms(c)
+            elif isinstance(node, Not):
+                collect_terms(node.child)
+
+        collect_terms(f)
+        dfs = self._term_dfs(literal_terms)
+
+        def add_instance(term: str, df: int, boost: float, scored: bool) -> int:
+            if scored:
+                idf = scorer.idf(self.docs_with_field, df, dtype)
+                c0 = float(scorer.c0(boost, idf, dtype))
+            else:
+                c0 = 0.0
+            instances.append({"term": term, "c0": c0, "scored": scored})
+            return len(instances) - 1
+
+        def expand_multiterm(leaf, boost: float) -> dict:
+            if isinstance(leaf, Prefix):
+                pred = F.col("term").startswith(leaf.prefix)
+                limit = leaf.scored_terms_limit
+            elif isinstance(leaf, Wildcard):
+                pred = F.col("term").like(leaf.pattern)
+                limit = leaf.scored_terms_limit
+            elif isinstance(leaf, TermRange):
+                pred = F.lit(True)
+                if leaf.min_term is not None:
+                    pred = pred & (
+                        F.col("term") >= leaf.min_term
+                        if leaf.include_min
+                        else F.col("term") > leaf.min_term
+                    )
+                if leaf.max_term is not None:
+                    pred = pred & (
+                        F.col("term") <= leaf.max_term
+                        if leaf.include_max
+                        else F.col("term") < leaf.max_term
+                    )
+                limit = leaf.scored_terms_limit
+            elif isinstance(leaf, Fuzzy):
+                pred = (
+                    F.length("term") >= len(leaf.term) - leaf.max_distance
+                ) & (F.length("term") <= len(leaf.term) + leaf.max_distance) & (
+                    F.levenshtein(F.col("term"), F.lit(leaf.term))
+                    <= leaf.max_distance
+                )
+                limit = leaf.scored_terms_limit
+            else:  # pragma: no cover
+                raise TypeError(leaf)
+            matched = self._dictionary(pred)
+            # scored_terms_limit: top-N by docs_count get scored, the rest
+            # become an unscored doc-set (limited_sample_collector.hpp:45-244)
+            matched.sort(key=lambda td: (-td[1], td[0]))
+            tids = []
+            scored_flags = []
+            for rank, (t, df) in enumerate(matched):
+                scored = rank < limit
+                tids.append(add_instance(t, df, boost, scored))
+                scored_flags.append(scored)
+            if not tids:
+                return {"op": "empty"}
+            return {"op": "terms", "tids": tids, "min_match": 1}
+
+        def compile_node(node: Filter, boost: float) -> dict:
+            b = boost * node.boost
+            if isinstance(node, Empty):
+                return {"op": "empty"}
+            if isinstance(node, All):
+                return {"op": "all", "boost": b}
+            if isinstance(node, TermF):
+                tid = add_instance(node.term, dfs[node.term], b, True)
+                return {"op": "terms", "tids": [tid], "min_match": 1}
+            if isinstance(node, TermsF):
+                tids = [add_instance(t, dfs[t], b, True) for t in node.terms]
+                return {"op": "terms", "tids": tids, "min_match": node.min_match}
+            if isinstance(node, (Prefix, Wildcard, TermRange, Fuzzy)):
+                return expand_multiterm(node, b)
+            if isinstance(node, Phrase):
+                nonlocal needs_positions
+                needs_positions = True
+                # stats accumulate across sub-terms into one buffer
+                # (bm25.cpp:381 `stats->idf +=`): phrase c0 = boost*(k+1)*sum(idf)
+                idf_sum = dtype(0.0)
+                for t in node.terms:
+                    idf_sum = dtype(
+                        idf_sum + self.scorer.idf(self.docs_with_field, dfs[t], dtype)
+                    )
+                c0 = float(self.scorer.c0(b, idf_sum, dtype))
+                tids = [add_instance(t, dfs[t], b, False) for t in node.terms]
+                return {"op": "phrase", "tids": tids, "c0": c0}
+            if isinstance(node, Or):
+                if all(isinstance(c, TermF) for c in node.children):
+                    tids = [
+                        add_instance(c.term, dfs[c.term], b * c.boost, True)
+                        for c in node.children
+                    ]
+                    return {"op": "terms", "tids": tids, "min_match": node.min_match}
+                return {
+                    "op": "or",
+                    "children": [compile_node(c, b) for c in node.children],
+                    "min_match": node.min_match,
+                }
+            if isinstance(node, And):
+                pos, neg = [], []
+                for c in node.children:
+                    if isinstance(c, Not):
+                        neg.append(compile_node(c.child, b))
+                    else:
+                        pos.append(compile_node(c, b))
+                if not pos:
+                    pos = [{"op": "all", "boost": b}]
+                return {"op": "and", "children": pos, "excludes": neg}
+            if isinstance(node, Not):
+                return {
+                    "op": "and",
+                    "children": [{"op": "all", "boost": b}],
+                    "excludes": [compile_node(node.child, b)],
+                }
+            raise TypeError(f"cannot compile {node!r}")
+
+        tree = compile_node(f, 1.0)
+        needed = sorted({i["term"] for i in instances})
+        return _Prepared(
+            tree=tree,
+            instances=instances,
+            needs_positions=needs_positions,
+            consts={
+                "dtype": dtype_name,
+                "norm_const": float(norm_const),
+                "norm_length": float(norm_length),
+                "scorer": self.scorer,
+            },
+            needed_terms=needed,
+        )
+
+    # ------------------------------------------------------------- execute
+    def search(
+        self,
+        f: Filter,
+        k: int = 10,
+        wand: bool = True,
+        dtype: str = "float32",
+        with_identity: bool = True,
+    ) -> DataFrame:
+        prep = self.prepare(f, dtype)
+        kernel = _make_kernel(prep, k, wand)
+        score_type = "float" if dtype == "float32" else "double"
+        out_schema = f"segment_id int, doc_id int, score {score_type}"
+
+        seg_df = self.segments_df(prep.needs_positions).filter(
+            (F.col("field") == self.field)
+        )
+        if prep.needed_terms:
+            seg_df = seg_df.filter(F.col("term").isin(prep.needed_terms))
+        else:
+            seg_df = seg_df.limit(0)
+        norms = self.norms_df()
+
+        local_topk = (
+            seg_df.groupby("segment_id")
+            .cogroup(norms.groupby("segment_id"))
+            .applyInPandas(kernel, schema=out_schema)
+        )
+        global_topk = local_topk.orderBy(
+            F.desc("score"), F.asc("segment_id"), F.asc("doc_id")
+        ).limit(k)
+        if not with_identity:
+            return global_topk
+        dm = self.docmeta_df().select(
+            "segment_id", "doc_id", "repo", "path", "commit", "lang"
+        )
+        return (
+            dm.join(F.broadcast(global_topk), ["segment_id", "doc_id"])
+            .select("repo", "path", "commit", "lang", "score", "segment_id", "doc_id")
+            .orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id"))
+        )
+
+
+# ----------------------------------------------------------------- kernel
+
+
+def _make_kernel(prep: _Prepared, k: int, wand: bool):
+    tree = prep.tree
+    instances = prep.instances
+    consts = prep.consts
+    needs_positions = prep.needs_positions
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        dtype = np.float32 if consts["dtype"] == "float32" else np.float64
+        scorer = consts["scorer"]
+        norm_const = dtype(consts["norm_const"])
+        norm_length = dtype(consts["norm_length"])
+        out_cols = {"segment_id": [], "doc_id": [], "score": []}
+        empty = pd.DataFrame(
+            {
+                "segment_id": pd.Series([], dtype="int32"),
+                "doc_id": pd.Series([], dtype="int32"),
+                "score": pd.Series([], dtype=consts["dtype"]),
+            }
+        )
+        if right.empty:
+            return empty
+        segment_id = int(right["segment_id"].iloc[0])
+        doc_ids_all = right["doc_id"].to_numpy(np.int64)
+        ndocs = int(doc_ids_all.max())
+        dl_arr = np.zeros(ndocs + 1, dtype=np.int64)
+        dl_arr[doc_ids_all] = right["dl"].to_numpy(np.int64)
+
+        rows_by_term: dict[str, Any] = {}
+        for row in left.itertuples(index=False):
+            rows_by_term[row.term] = row
+
+        decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+
+        def full_postings(term: str):
+            if term not in decode_cache:
+                r = rows_by_term.get(term)
+                if r is None:
+                    decode_cache[term] = (
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.int64),
+                    )
+                else:
+                    decode_cache[term] = decode_postings(
+                        r.postings, int(r.docs_count)
+                    )
+            return decode_cache[term]
+
+        def inst_score(tid: int, docs: np.ndarray, freqs: np.ndarray) -> np.ndarray:
+            inst = instances[tid]
+            if not inst["scored"]:
+                return np.zeros(docs.size, dtype=dtype)
+            c0 = dtype(inst["c0"])
+            return scorer.score(freqs, dl_arr[docs], c0, norm_const, norm_length, dtype)
+
+        # -------------------------------------------------- exhaustive eval
+        def eval_node(node: dict) -> tuple[np.ndarray, np.ndarray]:
+            op = node["op"]
+            if op == "empty":
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            if op == "all":
+                docs = np.sort(doc_ids_all)
+                return docs, np.zeros(docs.size, dtype)
+            if op == "terms":
+                parts_d, parts_s = [], []
+                for tid in node["tids"]:
+                    d, f_ = full_postings(instances[tid]["term"])
+                    parts_d.append(d)
+                    parts_s.append(inst_score(tid, d, f_))
+                if not parts_d:
+                    return np.empty(0, np.int64), np.empty(0, dtype)
+                all_d = np.concatenate(parts_d)
+                all_s = np.concatenate(parts_s)
+                uniq, inv = np.unique(all_d, return_inverse=True)
+                scores = np.zeros(uniq.size, dtype)
+                np.add.at(scores, inv, all_s)
+                counts = np.bincount(inv, minlength=uniq.size)
+                mask = counts >= node["min_match"]
+                return uniq[mask], scores[mask]
+            if op == "or":
+                parts = [eval_node(c) for c in node["children"]]
+                all_d = np.concatenate([p[0] for p in parts])
+                all_s = np.concatenate([p[1] for p in parts])
+                if all_d.size == 0:
+                    return all_d, all_s.astype(dtype)
+                uniq, inv = np.unique(all_d, return_inverse=True)
+                scores = np.zeros(uniq.size, dtype)
+                np.add.at(scores, inv, all_s)
+                counts = np.bincount(inv, minlength=uniq.size)
+                mask = counts >= node["min_match"]
+                return uniq[mask], scores[mask]
+            if op == "and":
+                parts = [eval_node(c) for c in node["children"]]
+                # cost order: smallest doc set leads (conjunction.hpp:438-460)
+                order = np.argsort([p[0].size for p in parts], kind="stable")
+                inter = parts[order[0]][0]
+                for j in order[1:]:
+                    inter = np.intersect1d(inter, parts[j][0], assume_unique=True)
+                scores = np.zeros(inter.size, dtype)
+                for d, s in parts:  # sum in child order for float determinism
+                    idx = np.searchsorted(d, inter)
+                    scores += s[idx]
+                for ex in node.get("excludes", []):
+                    ed, _ = eval_node(ex)
+                    keep = ~np.isin(inter, ed, assume_unique=True)
+                    inter, scores = inter[keep], scores[keep]
+                return inter, scores
+            if op == "phrase":
+                return eval_phrase(node)
+            raise ValueError(op)
+
+        def eval_phrase(node: dict) -> tuple[np.ndarray, np.ndarray]:
+            tids = node["tids"]
+            terms = [instances[t]["term"] for t in tids]
+            rows = [rows_by_term.get(t) for t in terms]
+            if any(r is None for r in rows):
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            posting = [full_postings(t) for t in terms]
+            cand = posting[0][0]
+            for d, _ in posting[1:]:
+                cand = np.intersect1d(cand, d, assume_unique=True)
+            if cand.size == 0:
+                return cand, np.empty(0, dtype)
+            # decode positions for candidate docs only
+            per_doc_pos: list[dict[int, np.ndarray]] = []
+            for (d, f_), r in zip(posting, rows):
+                flat = decode_positions(r.positions, f_)
+                starts = np.concatenate([[0], np.cumsum(f_)])
+                sel = np.searchsorted(d, cand)
+                per_doc_pos.append(
+                    {
+                        int(doc): flat[starts[j] : starts[j + 1]]
+                        for doc, j in zip(cand, sel)
+                    }
+                )
+            phrase_freqs = np.zeros(cand.size, dtype=np.int64)
+            for i, doc in enumerate(cand):
+                m = per_doc_pos[0][int(doc)]
+                for gap, pd_pos in enumerate(per_doc_pos[1:], start=1):
+                    m = np.intersect1d(m, pd_pos[int(doc)] - gap, assume_unique=True)
+                    if m.size == 0:
+                        break
+                phrase_freqs[i] = m.size
+            keep = phrase_freqs > 0
+            docs = cand[keep]
+            c0 = dtype(node["c0"])
+            scores = scorer.score(
+                phrase_freqs[keep], dl_arr[docs], c0, norm_const, norm_length, dtype
+            )
+            return docs, scores
+
+        # -------------------------------------------------- WAND path
+        def wand_terms(node: dict) -> tuple[np.ndarray, np.ndarray]:
+            tids = [
+                t for t in node["tids"] if instances[t]["term"] in rows_by_term
+            ]
+            if not tids:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            # dense per-doc upper bound from blockmax only (float64, safe)
+            ub = np.zeros(ndocs + 2, dtype=np.float64)
+            blockinfo = {}
+            for tid in tids:
+                r = rows_by_term[instances[tid]["term"]]
+                last = np.asarray(r.last_docs, dtype=np.int64)
+                first = np.concatenate([[0], last[:-1]]) + 1
+                bub = scorer.block_upper_bound(
+                    np.asarray(r.max_freqs, dtype=np.int64),
+                    np.asarray(r.min_norms, dtype=np.int64),
+                    dtype(instances[tid]["c0"]),
+                    norm_const,
+                    norm_length,
+                    dtype,
+                ).astype(np.float64)
+                np.add.at(ub, first, bub)
+                np.add.at(ub, last + 1, -bub)
+                blockinfo[tid] = (r, first, last)
+            ub = np.cumsum(ub)[: ndocs + 1]
+
+            def score_subset(cand_mask: np.ndarray):
+                acc = np.zeros(ndocs + 1, dtype)
+                matched = np.zeros(ndocs + 1, dtype=bool)
+                cum = np.concatenate([[0], np.cumsum(cand_mask)])
+                for tid in tids:
+                    r, first, last = blockinfo[tid]
+                    need = (cum[np.minimum(last + 1, ndocs + 1)] - cum[first]) > 0
+                    bids = np.flatnonzero(need)
+                    if bids.size == 0:
+                        continue
+                    d, f_, _ = decode_blocks(
+                        r.postings,
+                        np.asarray(r.block_offsets, dtype=np.int64),
+                        np.asarray(r.last_docs, dtype=np.int64),
+                        int(r.docs_count),
+                        bids,
+                    )
+                    sel = cand_mask[d]
+                    d, f_ = d[sel], f_[sel]
+                    acc[d] += inst_score(tid, d, f_)
+                    matched[d] = True
+                return acc, matched
+
+            # bootstrap threshold from top-C upper-bound docs
+            C = max(4 * k, 256)
+            if ndocs + 1 <= C:
+                cand = np.ones(ndocs + 1, dtype=bool)
+                acc, matched = score_subset(cand)
+                docs = np.flatnonzero(matched)
+                return docs, acc[docs]
+            top_ub_docs = np.argpartition(ub, -C)[-C:]
+            mask1 = np.zeros(ndocs + 1, dtype=bool)
+            mask1[top_ub_docs] = True
+            acc1, matched1 = score_subset(mask1)
+            cand1 = np.flatnonzero(matched1)
+            if cand1.size < k:
+                cand = np.ones(ndocs + 1, dtype=bool)
+                acc, matched = score_subset(cand)
+                docs = np.flatnonzero(matched)
+                return docs, acc[docs]
+            s1 = acc1[cand1]
+            theta = np.partition(s1, -k)[-k]
+            mask2 = ub >= np.float64(theta)
+            mask2 &= ~mask1  # already have exact scores for mask1 docs
+            acc2, matched2 = score_subset(mask2)
+            acc = acc1 + acc2
+            matched = matched1 | matched2
+            docs = np.flatnonzero(matched)
+            return docs, acc[docs]
+
+        use_wand = (
+            wand
+            and tree["op"] == "terms"
+            and tree["min_match"] == 1
+            and all(instances[t]["scored"] for t in tree["tids"])
+        )
+        docs, scores = wand_terms(tree) if use_wand else eval_node(tree)
+        if docs.size == 0:
+            return empty
+        order = np.lexsort((docs, -scores))[:k]
+        out_cols["segment_id"] = np.full(order.size, segment_id, dtype=np.int32)
+        out_cols["doc_id"] = docs[order].astype(np.int32)
+        out_cols["score"] = scores[order]
+        return pd.DataFrame(out_cols)
+
+    if needs_positions:
+        pass  # positions columns are already selected by the caller
+    return kernel

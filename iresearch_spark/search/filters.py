@@ -1,0 +1,153 @@
+"""Query filter DSL + boolean rewrites (the logical algebra).
+
+Semantics follow the reference filter set (`core/search/*_filter.*`, SURVEY §2.3):
+Term/Terms(min_match)/And/Or(min_match)/Not/Prefix/Range/Wildcard/Fuzzy/Phrase/
+All/Empty. Rewrites mirror `boolean_filter.cpp`:
+
+- double-negation elimination (:35-44)
+- Not(All) -> Empty, Not(Empty) -> All
+- And/Or single-child unwrap + Empty propagation (:57-72, 140-156)
+- Or min_match normalization (:212-312): min_match<=0 treated as 1 with an
+  All-match escape hatch, min_match==n -> And, min_match>n -> Empty
+
+These ~80 lines replace what Catalyst can't see (our filter tree lives above
+the DataFrame plan); Catalyst still handles scan pruning underneath.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class Filter:
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class TermF(Filter):
+    field_name: str = "content"
+    term: str = ""
+
+
+@dataclass(frozen=True)
+class TermsF(Filter):
+    """by_terms: set of terms with minimum-should-match."""
+
+    field_name: str = "content"
+    terms: tuple[str, ...] = ()
+    min_match: int = 1
+
+
+@dataclass(frozen=True)
+class And(Filter):
+    children: tuple[Filter, ...] = ()
+
+
+@dataclass(frozen=True)
+class Or(Filter):
+    children: tuple[Filter, ...] = ()
+    min_match: int = 1
+
+
+@dataclass(frozen=True)
+class Not(Filter):
+    child: Filter = field(default_factory=lambda: Empty())
+
+
+@dataclass(frozen=True)
+class Prefix(Filter):
+    field_name: str = "content"
+    prefix: str = ""
+    scored_terms_limit: int = 1024  # cf. prefix_filter.hpp:30-88
+
+
+@dataclass(frozen=True)
+class Wildcard(Filter):
+    """SQL LIKE pattern: % = any run, _ = any single char (wildcard_filter)."""
+
+    field_name: str = "content"
+    pattern: str = ""
+    scored_terms_limit: int = 1024
+
+
+@dataclass(frozen=True)
+class TermRange(Filter):
+    field_name: str = "content"
+    min_term: str | None = None
+    max_term: str | None = None
+    include_min: bool = True
+    include_max: bool = True
+    scored_terms_limit: int = 1024
+
+
+@dataclass(frozen=True)
+class Fuzzy(Filter):
+    """by_edit_distance: Levenshtein <= max_distance (levenshtein_filter)."""
+
+    field_name: str = "content"
+    term: str = ""
+    max_distance: int = 1
+    scored_terms_limit: int = 1024
+
+
+@dataclass(frozen=True)
+class Phrase(Filter):
+    """Fixed phrase: terms at adjacent positions (by_phrase, fixed case)."""
+
+    field_name: str = "content"
+    terms: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class All(Filter):
+    pass
+
+
+@dataclass(frozen=True)
+class Empty(Filter):
+    pass
+
+
+def rewrite(f: Filter) -> Filter:
+    """Normalize the filter tree (the reference's prepare-time rewrites)."""
+    if isinstance(f, Not):
+        c = rewrite(f.child)
+        if isinstance(c, Not):
+            return rewrite(c.child)
+        if isinstance(c, All):
+            return Empty()
+        if isinstance(c, Empty):
+            return All(boost=f.boost)
+        return Not(boost=f.boost, child=c)
+    if isinstance(f, And):
+        kids = [rewrite(c) for c in f.children]
+        if any(isinstance(c, Empty) for c in kids):
+            return Empty()
+        # `all` hoisting: All children are no-ops inside a conjunction with
+        # other children (boolean_filter.cpp:158-201, boosts not accumulated)
+        non_all = [c for c in kids if not isinstance(c, All)]
+        if not non_all:
+            return All(boost=f.boost)
+        if len(non_all) == 1 and not isinstance(non_all[0], Not):
+            return non_all[0]
+        return And(boost=f.boost, children=tuple(non_all))
+    if isinstance(f, Or):
+        kids = [rewrite(c) for c in f.children if not isinstance(rewrite(c), Empty)]
+        n = len(kids)
+        m = f.min_match
+        if m > n or n == 0:
+            return Empty()
+        if m <= 0:
+            return All(boost=f.boost)  # Or[min_match=0] -> all (:212-312)
+        if m == n:
+            return rewrite(And(boost=f.boost, children=tuple(kids)))
+        if n == 1:
+            return kids[0]
+        return Or(boost=f.boost, children=tuple(kids), min_match=m)
+    if isinstance(f, TermsF):
+        if not f.terms:
+            return Empty()
+        if f.min_match > len(f.terms):
+            return Empty()
+    return f
