@@ -1,38 +1,428 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: build the inverted index over the sf0.001
+``documents`` table and run a disjunctive BM25 top-10 with block-max WAND.
+
+`queries()` — one entry per implemented operator (SURVEY.md §2): fulltext
+filters + BM25 scoring through the real engine (float64 scoring mode for
+DuckDB comparability; the float32 reference-exact mode is gated by pytest
+rank-identity tests against the naive oracle), plus the training-data
+pipeline ops (dedup / similarity / text analysis).
+
+`oracle_sql()` — exact DuckDB twins. Scores are rounded to 4 decimals on
+both sides; result sets avoid LIMIT-tie ambiguity by returning either full
+match sets or top-k keyed on (rounded score, id).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- fulltext
+
+_INDEX_CACHE: dict[str, str] = {}
+
+_TOK = r"[a-z_][a-z0-9_]*|[0-9]+"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _corpus_from_documents(docs: DataFrame) -> DataFrame:
+    """Map the documents table onto the engine's corpus shape
+    (repo, path, commit, lang, content); doc_id is recoverable from path."""
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("commit"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.search import SearchEngine
+
+    key = os.path.abspath(sf_dir)
+    if key not in _INDEX_CACHE:
+        idx = os.path.join(
+            tempfile.gettempdir(), "iresearch_idx_" + key.replace("/", "_")
+        )
+        build_index(
+            spark, _corpus_from_documents(_docs(spark, sf_dir)), idx, num_segments=4
+        )
+        _INDEX_CACHE[key] = idx
+    return SearchEngine(spark, _INDEX_CACHE[key])
+
+
+def _ft(spark: SparkSession, sf_dir: str, filt, k=None) -> DataFrame:
+    eng = _engine(spark, sf_dir)
+    res = eng.search(filt, k=k, dtype="float64")
+    return res.select(
+        F.col("path").cast("int").alias("doc_id"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+def _ft_topk(spark: SparkSession, sf_dir: str, filt, k: int) -> DataFrame:
+    """Deterministic top-k on (rounded score desc, doc_id) — tie-stable on
+    both engine and SQL sides."""
+    allm = _ft(spark, sf_dir, filt, k=None)
+    return allm.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+_BM25_PRELUDE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS ttf,
+         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM dl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl, df.df,
+         ((1.2 + 1.0) * ln(1.0 + ((s.n - df.df) + 0.5) / (df.df + 0.5))) AS c0,
+         ((1.2 - 1.2 * 0.75) + (1.2 * 0.75 / s.avgdl) * dl.dl) AS c1
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN stats s
+)
+"""
+
+
+def _bm25_union_sql(term_pred: str, min_match: int = 1, extra_where: str = "") -> str:
+    return f"""{_BM25_PRELUDE}
+SELECT doc_id, round(sum(c0 - c0 * c1 / (c1 + tf)), 4) AS score
+FROM scored
+WHERE ({term_pred}) {extra_where}
+GROUP BY doc_id
+HAVING count(*) >= {min_match}
+"""
+
+
+# ---------------------------------------------------------------- contract
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 disjunction with WAND over sf0.001 documents."""
+    from iresearch_spark.search import Or, TermF
+
+    eng = _engine(spark, "/root/testdata/sf0.001")
+    q = Or(children=(TermF(term="spark"), TermF(term="join"), TermF(term="query")))
+    return eng.search(q, k=10, wand=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from iresearch_spark.pipeline.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_signatures,
+    )
+    from iresearch_spark.pipeline.similarity import (
+        cosine_pairs,
+        cosine_topk,
+        lsh_ann_topk,
+    )
+    from iresearch_spark.pipeline.text import (
+        fingerprints,
+        language_id,
+        quality_scores,
+        token_stats,
+    )
+    from iresearch_spark.search import (
+        And,
+        Fuzzy,
+        Not,
+        Or,
+        Phrase,
+        Prefix,
+        TermF,
+        TermRange,
+        TermsF,
+        Wildcard,
+    )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # --- fulltext: engine-backed, full match sets with scores
+    q["ft_term_scores"] = lambda s, d: _ft(s, d, TermF(term="spark"))
+    q["ft_term_topk"] = lambda s, d: _ft_topk(s, d, TermF(term="merge"), 10)
+    q["ft_disjunction"] = lambda s, d: _ft(
+        s, d, Or(children=(TermF(term="window"), TermF(term="batch")))
+    )
+    q["ft_conjunction"] = lambda s, d: _ft(
+        s, d, And(children=(TermF(term="spark"), TermF(term="window"),
+                            TermF(term="customer")))
+    )
+    q["ft_minmatch"] = lambda s, d: _ft(
+        s, d, TermsF(terms=("spark", "window", "customer"), min_match=2)
+    )
+    q["ft_not"] = lambda s, d: _ft(
+        s, d, And(children=(TermF(term="window"), Not(child=TermF(term="spark"))))
+    )
+    q["ft_prefix"] = lambda s, d: _ft(s, d, Prefix(prefix="qu"))
+    q["ft_wildcard"] = lambda s, d: _ft(s, d, Wildcard(pattern="s%w"))
+    q["ft_range"] = lambda s, d: _ft(
+        s, d, TermRange(min_term="scan", max_term="sort")
+    )
+    q["ft_fuzzy"] = lambda s, d: _ft(s, d, Fuzzy(term="spbrk", max_distance=2))
+    q["ft_phrase"] = lambda s, d: _ft(s, d, Phrase(terms=("fast", "key")))
+
+    # --- index-structure cross-checks
+    def ft_doclen(s, d):
+        eng = _engine(s, d)
+        return eng.docmeta_df().select(
+            F.col("path").cast("int").alias("doc_id"), F.col("dl").alias("dl")
+        )
+
+    q["ft_doclen"] = ft_doclen
+
+    def ft_termstats(s, d):
+        eng = _engine(s, d)
+        seg = s.read.parquet(f"{eng.index_dir}/segments")
+        return (
+            seg.filter(F.col("term").isin(["spark", "join", "the", "window"]))
+            .groupBy("term")
+            .agg(
+                F.sum("docs_count").alias("df"),
+                F.sum("total_tf").alias("ttf"),
+            )
+        )
+
+    q["ft_termstats"] = ft_termstats
+
+    # --- training-data pipeline ops
+    q["dedup_exact"] = lambda s, d: exact_dedup(_docs(s, d))
+    q["dedup_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(_docs(s, d), 0.05)
+    q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(_docs(s, d), 64, 16, 0.05)
+    q["dedup_simhash"] = lambda s, d: simhash_signatures(_docs(s, d))
+    q["text_token_stats"] = lambda s, d: token_stats(_docs(s, d))
+    q["text_fingerprint"] = lambda s, d: fingerprints(_docs(s, d))
+    q["text_quality"] = lambda s, d: quality_scores(_docs(s, d))
+    q["text_langid"] = lambda s, d: language_id(_docs(s, d))
+    q["ann_cosine_pairs"] = lambda s, d: cosine_pairs(
+        _emb(s, d), F.col("label") == 0, 0.25
+    )
+    q["ann_cosine_topk"] = lambda s, d: cosine_topk(
+        _emb(s, d), F.col("vec_id") < 5, 10
+    )
+    q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(
+        _emb(s, d), F.col("vec_id") < 5, 10
+    )
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+    o["ft_term_scores"] = _bm25_union_sql("term = 'spark'")
+    o["ft_term_topk"] = (
+        _bm25_union_sql("term = 'merge'")
+        + " ORDER BY score DESC, doc_id LIMIT 10"
+    )
+    o["ft_disjunction"] = _bm25_union_sql("term IN ('window','batch')")
+    o["ft_conjunction"] = _bm25_union_sql(
+        "term IN ('spark','window','customer')", min_match=3
+    )
+    o["ft_minmatch"] = _bm25_union_sql(
+        "term IN ('spark','window','customer')", min_match=2
+    )
+    o["ft_not"] = _bm25_union_sql(
+        "term = 'window'",
+        extra_where="AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'spark')",
+    )
+    o["ft_prefix"] = _bm25_union_sql("term LIKE 'qu%'")
+    o["ft_wildcard"] = _bm25_union_sql("term LIKE 's%w'")
+    o["ft_range"] = _bm25_union_sql("term >= 'scan' AND term <= 'sort'")
+    o["ft_fuzzy"] = _bm25_union_sql("levenshtein(term, 'spbrk') <= 2")
+    o["ft_phrase"] = f"""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{_TOK}'), 1) AS pos
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM pos GROUP BY doc_id),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM dl
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM pos
+  WHERE term IN ('fast', 'key') GROUP BY term
+),
+idf AS (
+  SELECT sum(ln(1.0 + ((s.n - df.df) + 0.5) / (df.df + 0.5))) AS idf_sum
+  FROM df CROSS JOIN stats s
+),
+m AS (
+  SELECT a.doc_id, count(*) AS pf
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'fast' AND b.term = 'key'
+  GROUP BY a.doc_id
+)
+SELECT m.doc_id,
+       round(
+         ((1.2 + 1.0) * i.idf_sum)
+         - ((1.2 + 1.0) * i.idf_sum)
+           * ((1.2 - 1.2 * 0.75) + (1.2 * 0.75 / s.avgdl) * dl.dl)
+           / (((1.2 - 1.2 * 0.75) + (1.2 * 0.75 / s.avgdl) * dl.dl) + m.pf),
+         4
+       ) AS score
+FROM m
+JOIN dl USING (doc_id)
+CROSS JOIN stats s
+CROSS JOIN idf i
+"""
+    o["ft_doclen"] = f"""
+SELECT d.doc_id,
+       coalesce(len(regexp_extract_all(lower(d.text), '{_TOK}')), 0) AS dl
+FROM documents d
+"""
+    o["ft_termstats"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents
+)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+FROM tok WHERE term IN ('spark', 'join', 'the', 'window') GROUP BY term
+"""
+    o["dedup_exact"] = """
+SELECT md5(coalesce(text, '')) AS digest,
+       min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+    o["dedup_ngram_jaccard"] = f"""
+WITH pos AS (
+  SELECT doc_id, source,
+         unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '{_TOK}'), 1) AS pos
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT a.doc_id, a.source,
+         a.term || ' ' || b.term || ' ' || c.term AS gram
+  FROM pos a
+  JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN pos c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM tri a JOIN tri b
+    ON a.source = b.source AND a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i / (sa.n + sb.n - i)::DOUBLE, 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(i / (sa.n + sb.n - i)::DOUBLE, 4) >= 0.05
+"""
+    o["text_token_stats"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(coalesce(text, '')), '{_TOK}')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower(coalesce(text, '')), '{_TOK}'))) AS n_unique,
+       coalesce(list_aggregate(
+         list_transform(regexp_extract_all(lower(coalesce(text, '')), '{_TOK}'),
+                        x -> length(x)), 'sum'), 0) AS token_chars
+FROM documents
+"""
+    o["text_fingerprint"] = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+    stop_list = "'the','a','for','if','of','to','and','in','on'"
+    o["text_quality"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         coalesce(text, '') AS txt,
+         regexp_extract_all(lower(coalesce(text, '')), '{_TOK}') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       length(txt) AS n_chars_obs,
+       len(toks) AS n_tokens,
+       round(len(list_filter(toks, x -> x IN ({stop_list})))
+             / nullif(len(toks)::DOUBLE, 0.0), 4) AS stop_ratio,
+       round(coalesce(list_aggregate(list_transform(toks, x -> length(x)), 'sum'), 0)
+             / nullif(len(toks)::DOUBLE, 0.0), 4) AS mean_token_len,
+       round((length(txt) - length(regexp_replace(txt, '[^A-Za-z0-9]', '', 'g')))
+             / length(txt)::DOUBLE, 4) AS non_alnum_ratio
+FROM t
+"""
+    o["text_langid"] = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(coalesce(text, '')), '{_TOK}') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> x IN ('the','a','fast','slow'))) AS c_en,
+         len(list_filter(toks, x -> x IN ('join','hash','row'))) AS c_es,
+         len(list_filter(toks, x -> x IN ('scan','filter','batch'))) AS c_de,
+         len(list_filter(toks, x -> x IN ('query','sort','window'))) AS c_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+            WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+            WHEN c_de >= c_fr THEN 'de'
+            ELSE 'fr' END AS pred_lang,
+       (CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr THEN 'en'
+             WHEN c_es >= c_de AND c_es >= c_fr THEN 'es'
+             WHEN c_de >= c_fr THEN 'de'
+             ELSE 'fr' END = lang)::INT AS is_correct
+FROM c
+"""
+    _COS = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings {QFILTER}),
+c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings),
+p AS (
+  SELECT qid, cid,
+         list_aggregate(list_transform(range(1, 65),
+           i -> qv[i]::DOUBLE * cv[i]::DOUBLE), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, 65),
+              i -> qv[i]::DOUBLE * qv[i]::DOUBLE), 'sum'))
+            * sqrt(list_aggregate(list_transform(range(1, 65),
+              i -> cv[i]::DOUBLE * cv[i]::DOUBLE), 'sum'))) AS cos
+  FROM q CROSS JOIN c WHERE qid != cid
+)
+"""
+    o["ann_cosine_pairs"] = (
+        _COS.replace("{QFILTER}", "WHERE label = 0")
+        + "SELECT qid, cid, round(cos, 4) AS cosine FROM p WHERE round(cos, 4) >= 0.25"
+    )
+    o["ann_cosine_topk"] = (
+        _COS.replace("{QFILTER}", "WHERE vec_id < 5")
+        + """
+SELECT qid, cid, round(cos, 4) AS cosine,
+       row_number() OVER (PARTITION BY qid ORDER BY round(cos, 4) DESC, cid) AS rnk
+FROM p
+QUALIFY rnk <= 10
+"""
+    )
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: approximate/hash ops,
+    # verified in pytest against exact baselines -> rows-only driver check.
+    return o

@@ -236,6 +236,46 @@ def decode_postings(blob: bytes, docs_count: int) -> tuple[np.ndarray, np.ndarra
     return doc_ids, freqs
 
 
+def decode_postings_many(
+    blobs: list[bytes], docs_counts: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode MANY posting blobs in one vectorized pass (merge kernel path).
+
+    Returns the concatenation ``(doc_ids, freqs)`` across all rows, in row
+    order — the inverse of ``encode_postings_batch``.
+    """
+    nt = np.ascontiguousarray(docs_counts, dtype=np.int64)
+    T = nt.size
+    N = int(nt.sum())
+    if N == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    values = decode_varints(
+        np.concatenate([np.frombuffer(b, dtype=np.uint8) for b in blobs]), 2 * N
+    )
+    term_starts = np.concatenate([[0], np.cumsum(nt)])[:-1]
+    idx = np.arange(N, dtype=np.int64)
+    term_of = np.repeat(np.arange(T, dtype=np.int64), nt)
+    rank_in_term = idx - term_starts[term_of]
+    block_within = rank_in_term // BLOCK_SIZE
+    blocks_per_term = (nt + BLOCK_SIZE - 1) // BLOCK_SIZE
+    block_term_offsets = np.concatenate([[0], np.cumsum(blocks_per_term)])[:-1]
+    block_id = block_term_offsets[term_of] + block_within
+    block_sizes = np.bincount(
+        block_id, minlength=int(blocks_per_term.sum())
+    ).astype(np.int64)
+    block_start_in_term = BLOCK_SIZE * block_within
+    within_block = rank_in_term - block_start_in_term
+    pos_delta = 2 * term_starts[term_of] + 2 * block_start_in_term + within_block
+    deltas = values[pos_delta].astype(np.int64)
+    freqs = values[pos_delta + block_sizes[block_id]].astype(np.int64)
+    # within-row cumsum (first delta of each row is absolute)
+    cs = np.cumsum(deltas)
+    cs_before = np.concatenate([[0], cs])[term_starts]
+    doc_ids = cs - np.repeat(cs_before, nt)
+    return doc_ids, freqs
+
+
 def decode_blocks(
     blob: bytes,
     block_offsets: np.ndarray,

@@ -297,13 +297,14 @@ class SearchEngine:
     def search(
         self,
         f: Filter,
-        k: int = 10,
+        k: int | None = 10,
         wand: bool = True,
         dtype: str = "float32",
         with_identity: bool = True,
     ) -> DataFrame:
+        """Top-k (k int) or all-matches (k=None, scores without truncation)."""
         prep = self.prepare(f, dtype)
-        kernel = _make_kernel(prep, k, wand)
+        kernel = _make_kernel(prep, k, wand and k is not None)
         score_type = "float" if dtype == "float32" else "double"
         out_schema = f"segment_id int, doc_id int, score {score_type}"
 
@@ -321,9 +322,12 @@ class SearchEngine:
             .cogroup(norms.groupby("segment_id"))
             .applyInPandas(kernel, schema=out_schema)
         )
-        global_topk = local_topk.orderBy(
-            F.desc("score"), F.asc("segment_id"), F.asc("doc_id")
-        ).limit(k)
+        if k is None:
+            global_topk = local_topk
+        else:
+            global_topk = local_topk.orderBy(
+                F.desc("score"), F.asc("segment_id"), F.asc("doc_id")
+            ).limit(k)
         if not with_identity:
             return global_topk
         dm = self.docmeta_df().select(
@@ -575,7 +579,9 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
         docs, scores = wand_terms(tree) if use_wand else eval_node(tree)
         if docs.size == 0:
             return empty
-        order = np.lexsort((docs, -scores))[:k]
+        order = np.lexsort((docs, -scores))
+        if k is not None:
+            order = order[:k]
         out_cols["segment_id"] = np.full(order.size, segment_id, dtype=np.int32)
         out_cols["doc_id"] = docs[order].astype(np.int32)
         out_cols["score"] = scores[order]

@@ -1,0 +1,77 @@
+"""Local replica of the driver's correctness gate: run every queries() entry
+and its oracle_sql() twin on the same parquet tables, compare row count,
+schema arity, and order-insensitive values."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for tup in df.itertuples(index=False):
+        row = []
+        for v in tup:
+            if isinstance(v, float):
+                if math.isnan(v):
+                    row.append("nan")
+                else:
+                    row.append(round(v, 4))
+            else:
+                row.append(v)
+        rows.append(tuple(row))
+    return sorted(rows, key=repr)
+
+
+ORACLES = entry_mod.oracle_sql()
+QUERIES = entry_mod.queries()
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert "score" in df.columns
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES), ids=sorted(ORACLES))
+def test_query_vs_oracle(spark, ducks, name):
+    got = QUERIES[name](spark, SF_DIR).toPandas()
+    exp = ducks.sql(ORACLES[name]).df()
+    assert len(got) == len(exp), f"{name}: rows {len(got)} vs {len(exp)}"
+    assert len(got.columns) == len(exp.columns), (
+        f"{name}: cols {sorted(got.columns)} vs {sorted(exp.columns)}"
+    )
+    assert sorted(got.columns) == sorted(exp.columns), (
+        f"{name}: col names {sorted(got.columns)} vs {sorted(exp.columns)}"
+    )
+    cg, ce = _canon(got), _canon(exp)
+    mismatch = [(a, b) for a, b in zip(cg, ce) if a != b][:5]
+    assert cg == ce, f"{name}: first mismatches {mismatch}"
+
+
+def test_rows_only_queries_run(spark):
+    for name in sorted(set(QUERIES) - set(ORACLES)):
+        df = QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0, name
