@@ -8,4 +8,5 @@ from iresearch_spark.codec.postings import (  # noqa: F401
     decode_positions,
     encode_postings_batch,
     encode_positions_batch,
+    decode_postings_many,
 )

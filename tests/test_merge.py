@@ -1,0 +1,85 @@
+"""Consolidation tests: tier planner math + merge correctness.
+
+Merge correctness gate: search results (identity + float32 score) are
+IDENTICAL before and after consolidation — the merge only re-shards, never
+changes ranking (global stats are segment-independent).
+"""
+
+import numpy as np
+import pytest
+
+from iresearch_spark.corpus import generate_corpus
+from iresearch_spark.index.build import build_index
+from iresearch_spark.index.manifest import read_manifest
+from iresearch_spark.index.merge import consolidate, merge_segments, plan_tier
+from iresearch_spark.search import And, Or, Phrase, SearchEngine, TermF
+
+N_DOCS = 250
+N_SEGMENTS = 8
+
+QUERIES = [
+    TermF(term="import"),
+    Or(children=(TermF(term="void"), TermF(term="sym_9"), TermF(term="sym_100"))),
+    And(children=(TermF(term="def"), TermF(term="sym_3"))),
+    Phrase(terms=("import", "int")),
+    TermF(term="uniq_11_a"),
+]
+
+
+def _results(spark, index_dir, k=15):
+    eng = SearchEngine(spark, index_dir)
+    out = []
+    for q in QUERIES:
+        rows = eng.search(q, k=k).collect()
+        out.append([(r["repo"], r["path"], r["commit"], np.float32(r["score"])) for r in rows])
+    return out
+
+
+@pytest.fixture()
+def index_dir(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    corpus = generate_corpus(spark, N_DOCS, num_partitions=4, min_tokens=30,
+                             max_tokens=300)
+    build_index(spark, corpus, d, num_segments=N_SEGMENTS)
+    return d
+
+
+def test_plan_tier_prefers_small_even_windows():
+    segs = [
+        {"segment_id": i, "postings_bytes": 100, "docs": 10} for i in range(4)
+    ] + [{"segment_id": 9, "postings_bytes": 10_000, "docs": 100}]
+    batch = plan_tier(segs, max_segments=4, max_bytes=1 << 20, max_skew=0.4)
+    assert batch == [0, 1, 2, 3]  # the big skewed segment is excluded
+
+
+def test_plan_tier_respects_byte_cap():
+    segs = [{"segment_id": i, "postings_bytes": 600, "docs": 1} for i in range(4)]
+    assert plan_tier(segs, max_bytes=1000) == []  # any 2-window > cap
+
+
+def test_merge_preserves_search_results(spark, index_dir):
+    before = _results(spark, index_dir)
+    man0 = read_manifest(index_dir)
+    metrics = merge_segments(spark, index_dir, [0, 1, 2, 3])
+    assert metrics["fan_in"] == 4
+    man1 = read_manifest(index_dir)
+    assert len(man1.segments) == len(man0.segments) - 3
+    assert sum(s["docs"] for s in man1.segments) == N_DOCS
+    after = _results(spark, index_dir)
+    assert before == after
+
+
+def test_consolidate_to_single_segment(spark, index_dir):
+    before = _results(spark, index_dir)
+    rounds = consolidate(
+        spark, index_dir, max_segments=4, max_bytes=1 << 30, max_skew=1.0
+    )
+    assert rounds, "expected at least one merge round"
+    man = read_manifest(index_dir)
+    assert len(man.segments) < N_SEGMENTS
+    assert sum(s["docs"] for s in man.segments) == N_DOCS
+    # hierarchical: later merges consumed earlier merge outputs
+    gens = [s["lineage"].get("generation", 0) for s in man.segments]
+    assert max(gens) >= 1
+    after = _results(spark, index_dir)
+    assert before == after
