@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: build the inverted index over ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]``, run the headline
+query set, and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``--scaling`` mode: the in-sandbox stand-in for the north rule's N-vs-4N
+cluster requirement — run the SAME index-build job (deterministic synthetic
+corpus, identical input partitioning) at ``local[N]`` and ``local[4N]`` and
+report docs/sec at both plus scaling efficiency = (thr_4N / thr_N) / 4.
+Results are summarized in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _fresh_dir(tag: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), f"iresearch_bench_{tag}")
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    return d
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 4)
+
+
+def run_default(sf_dir: str, cpus: int) -> dict:
+    from iresearch_spark.session import get_spark
+
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark("iresearch_bench", cores=cpus)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # ---- index build over the documents table (the flagship input)
+    from iresearch_spark.index.build import build_index
+
+    docs = entry_mod._corpus_from_documents(entry_mod._docs(spark, sf_dir))
+    n_docs = docs.count()
+    idx_dir = _fresh_dir(f"sf{sf}")
+    t0 = time.perf_counter()
+    metrics = build_index(spark, docs, idx_dir, num_segments=8)
+    build_sec = time.perf_counter() - t0
+    entry_mod._INDEX_CACHE[os.path.abspath(sf_dir)] = idx_dir
+
+    # ---- throughput build over the larger synthetic corpus (bench scale)
+    from iresearch_spark.corpus import generate_corpus
+
+    n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    synth = generate_corpus(spark, n_synth, num_partitions=4 * cpus)
+    synth_dir = _fresh_dir("synth")
+    t0 = time.perf_counter()
+    build_index(spark, synth, synth_dir, num_segments=2 * cpus)
+    synth_sec = time.perf_counter() - t0
+
+    # ---- headline queries (forced with count())
+    qs = entry_mod.queries()
+    headline = [
+        "ft_term_topk", "ft_disjunction", "ft_conjunction", "ft_minmatch",
+        "ft_phrase", "ft_prefix", "ft_fuzzy", "ft_wildcard", "ft_range",
+        "dedup_exact", "dedup_minhash_lsh", "text_token_stats",
+        "ann_cosine_topk", "ann_lsh_topk",
+    ]
+    q_times: dict[str, float] = {}
+    for name in headline:
+        if name not in qs:
+            continue
+        fn = qs[name]
+        q_times[name] = _time(lambda: fn(spark, sf_dir).count())
+
+    total = round(build_sec + sum(q_times.values()), 4)
+    out = {
+        "metric": "index_build_plus_query_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": q_times,
+        "sf": float(sf),
+        "index_build_sec": round(build_sec, 4),
+        "index_docs": n_docs,
+        "index_docs_per_sec": round(n_docs / build_sec, 2),
+        "synth_docs": n_synth,
+        "synth_build_sec": round(synth_sec, 4),
+        "synth_docs_per_sec": round(n_synth / synth_sec, 2),
+        "cpus": cpus,
+    }
+    spark.stop()
+    for d in (idx_dir, synth_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _scaling_build(cores: int, n_docs: int, n_parts: int) -> tuple[float, int]:
+    """One cold build of the synthetic corpus at the given parallelism."""
+    from iresearch_spark.corpus import generate_corpus
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.session import get_spark
+
+    spark = get_spark(f"iresearch_scaling_{cores}", cores=cores,
+                      shuffle_partitions=n_parts)
+    corpus = generate_corpus(spark, n_docs, num_partitions=n_parts)
+    idx_dir = _fresh_dir(f"scale_{cores}")
+    t0 = time.perf_counter()
+    m = build_index(spark, corpus, idx_dir, num_segments=n_parts)
+    elapsed = time.perf_counter() - t0
+    docs = m["docs"]
+    spark.stop()
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    return elapsed, docs
+
+
+def run_scaling(n_small: int) -> dict:
+    """Same job, same input partitioning, at local[N] vs local[4N]."""
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "40000"))
+    n_parts = 16 * n_small  # fixed across both runs: identical work units
+    n_large = 4 * n_small
+    # warm-up pass so JVM/py4j startup isn't billed to the first config
+    _scaling_build(n_small, max(2000, n_docs // 20), n_parts)
+    t_small, docs = _scaling_build(n_small, n_docs, n_parts)
+    t_large, _ = _scaling_build(n_large, n_docs, n_parts)
+    thr_small = docs / t_small
+    thr_large = docs / t_large
+    eff = (thr_large / thr_small) / (n_large / n_small)
+    return {
+        "metric": "scaling_efficiency_N_vs_4N",
+        "value": round(eff, 4),
+        "unit": "ratio",
+        "sf": n_docs,
+        "queries": {},
+        "cores_N": n_small,
+        "cores_4N": n_large,
+        "input_partitions": n_parts,
+        "docs": docs,
+        "elapsed_N_sec": round(t_small, 2),
+        "elapsed_4N_sec": round(t_large, 2),
+        "docs_per_sec_N": round(thr_small, 1),
+        "docs_per_sec_4N": round(thr_large, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the N vs 4N scaling-efficiency experiment")
+    ap.add_argument("--n", type=int, default=8,
+                    help="small cluster size N for --scaling (large = 4N)")
+    args = ap.parse_args()
+
+    if args.scaling:
+        out = run_scaling(args.n)
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        out = run_default(sf_dir, cpus)
+    print(json.dumps(out))
+    sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()

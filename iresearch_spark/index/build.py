@@ -183,8 +183,16 @@ def build_index(
     import os
     import shutil
 
+    from pyspark import StorageLevel
+
     t0 = time.time()
-    docs = assign_doc_ids(corpus, num_segments)
+    # One shuffle + in-partition sort assigns segment & doc ids; persist so
+    # the two consumers (docmeta write, invert kernel) and per-wave scans
+    # reuse it instead of recomputing the upstream lineage. At 100 TB this
+    # becomes a staging-table write (same role: pay the exchange once).
+    docs = assign_doc_ids(corpus, num_segments).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     if not resume and os.path.isdir(index_dir):
         shutil.rmtree(index_dir)
@@ -324,6 +332,7 @@ def build_index(
                 f"injected failure after {committed_waves} committed waves"
             )
 
+    docs.unpersist()
     total_docs = sum(r["docs"] for r in seg_records.values())
     elapsed = time.time() - t0
     return {
