@@ -87,28 +87,67 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.15) -> DataFrame:
 
 
 def _hash_tokens_u64(tokens: np.ndarray) -> np.ndarray:
-    """Deterministic 64-bit token hash (FNV-1a over utf-8), vectorized enough:
-    unique-ify first so the Python loop runs over the vocabulary only."""
-    uniq, inv = np.unique(tokens, return_inverse=True)
-    out = np.empty(uniq.size, dtype=np.uint64)
-    for i, s in enumerate(uniq):
-        h = np.uint64(0xCBF29CE484222325)
-        for byt in s.encode():
-            h = np.uint64((int(h) ^ byt) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out[inv]
+    """Deterministic 64-bit token hash, vectorized (pandas SipHash kernel with
+    its fixed default key — stable across sessions and partitions)."""
+    return pd.util.hash_array(
+        np.asarray(tokens, dtype=object), categorize=False
+    ).astype(np.uint64)
+
+
+def _flat_doc_tokens(pdf: pd.DataFrame, shingle: int = 1):
+    """Batch -> (doc_ids, flat hash array, per-doc slice starts).
+
+    One vectorized tokenize over the whole Arrow batch; docs with fewer than
+    ``shingle`` tokens are dropped. With ``shingle`` > 1 the hashes are mixed
+    k-token shingle hashes (the discriminative unit for near-dup detection —
+    single-token sets of same-domain documents overlap almost completely).
+    Returns (kept_doc_ids, hashes, starts) where
+    ``hashes[starts[i]:starts[i+1]]`` are doc i's hashes.
+    """
+    toks = pdf["text"].fillna("").str.lower().str.findall(CODE_TOKEN_PATTERN)
+    counts = toks.str.len().to_numpy(np.int64)
+    keep = counts >= shingle
+    toks, counts = toks[keep], counts[keep]
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)[keep]
+    if doc_ids.size == 0:
+        return doc_ids, np.empty(0, np.uint64), np.zeros(1, np.int64)
+    flat = toks.explode().to_numpy(dtype=object)
+    hashes = _hash_tokens_u64(flat)
+    if shingle > 1:
+        # combine k consecutive token hashes; windows crossing doc
+        # boundaries are cut off by the shrunken per-doc counts below
+        mixed = np.zeros(hashes.size - shingle + 1, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        for j in range(shingle):
+            end = hashes.size - shingle + 1 + j
+            mixed = (mixed ^ hashes[j:end]) * prime
+        counts = counts - (shingle - 1)
+        ends = np.cumsum(counts + (shingle - 1))
+        starts_orig = ends - (counts + (shingle - 1))
+        idx = (
+            np.repeat(starts_orig, counts)
+            + np.arange(int(counts.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate([[0], np.cumsum(counts)])[:-1], counts)
+        )
+        hashes = mixed[idx]
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    return doc_ids, hashes, starts
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, num_hashes: int = 64, bands: int = 16, threshold: float = 0.15
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.15,
+    shingle: int = 3,
 ) -> DataFrame:
     """MinHash signatures + banded LSH candidate pairs with estimated Jaccard.
 
-    shingle(token set) -> minhash (num_hashes seeded affine hashes over a
-    Mersenne prime) -> band -> bucket join; estimate = fraction of agreeing
-    hash slots. Returns (doc_a, doc_b, est_jaccard >= threshold).
+    shingle(k consecutive tokens) -> minhash (num_hashes seeded affine hashes
+    over a Mersenne prime) -> band -> bucket join; estimate = fraction of
+    agreeing hash slots, i.e. estimated Jaccard over shingle sets. Returns
+    (doc_a, doc_b, est_jaccard >= threshold).
     """
-    rows = bands
     assert num_hashes % bands == 0
     rng = np.random.default_rng(1234)
     A = rng.integers(1, int(_MERSENNE) - 1, size=num_hashes, dtype=np.uint64)
@@ -116,44 +155,55 @@ def minhash_lsh_pairs(
     r = num_hashes // bands
 
     def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import re
-
-        tok_re = re.compile(CODE_TOKEN_PATTERN)
         for pdf in batches:
-            ids, band_idx, band_hash, sig_list = [], [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = np.unique(np.array(tok_re.findall((text or "").lower()), dtype=object))
-                if toks.size == 0:
-                    continue
-                h = _hash_tokens_u64(toks)
-                # sig[i] = min_j (A[i]*h[j] + B[i] mod p)
-                prod = (A[:, None] * h[None, :] + B[:, None]) % _MERSENNE
-                sig = prod.min(axis=1)
-                for bidx in range(bands):
-                    chunk = sig[bidx * r : (bidx + 1) * r]
-                    bh = np.uint64(0xCBF29CE484222325)
-                    for v in chunk:
-                        bh = np.uint64(
-                            (int(bh) ^ int(v)) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF
-                        )
-                    ids.append(doc_id)
-                    band_idx.append(bidx)
-                    band_hash.append(np.int64(bh >> np.uint64(1)))
-                    sig_list.append(sig.astype(np.int64).tolist())
+            doc_ids, hashes, starts = _flat_doc_tokens(pdf, shingle)
+            if doc_ids.size == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "sig": pd.Series([], dtype=object),
+                        "band_hashes": pd.Series([], dtype=object),
+                    }
+                )
+                continue
+            # sig[d, i] = min over doc d's token hashes of (A[i]*h + B[i]) % p;
+            # one vector pass per hash function (num_hashes passes total)
+            reduce_at = starts[:-1]
+            sig = np.empty((doc_ids.size, num_hashes), dtype=np.uint64)
+            for i in range(num_hashes):
+                v = (A[i] * hashes + B[i]) % _MERSENNE
+                sig[:, i] = np.minimum.reduceat(v, reduce_at)
+            # per-band FNV fold over the band's r slots, vectorized over docs
+            bh = np.full((doc_ids.size, bands), 0xCBF29CE484222325, dtype=np.uint64)
+            prime = np.uint64(0x100000001B3)
+            banded = sig.reshape(doc_ids.size, bands, r)
+            for j in range(r):
+                bh = (bh ^ banded[:, :, j]) * prime
+            sig_i64 = (sig >> np.uint64(1)).astype(np.int64)
+            bh_i64 = (bh >> np.uint64(1)).astype(np.int64)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "band": pd.Series(band_idx, dtype="int32"),
-                    "band_hash": pd.Series(band_hash, dtype="int64"),
-                    "sig": sig_list,
+                    "doc_id": pd.Series(doc_ids, dtype="int64"),
+                    "sig": list(sig_i64),
+                    "band_hashes": list(bh_i64),
                 }
             )
 
-    sig_df = docs.select("doc_id", "text").mapInPandas(
-        sigs, schema="doc_id long, band int, band_hash long, sig array<long>"
+    sig_df = (
+        docs.select("doc_id", "text")
+        .mapInPandas(
+            sigs,
+            schema="doc_id long, sig array<long>, band_hashes array<long>",
+        )
+        .persist()
     )
-    a = sig_df.alias("a")
-    b = sig_df.alias("b")
+    # narrow bucket rows (3 ints) for the candidate join; signatures joined
+    # back only for surviving pairs
+    buckets = sig_df.select(
+        "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
     cand = (
         a.join(
             b,
@@ -164,11 +214,12 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sa = sig_df.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig_df.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sa, "doc_a").join(sb, "doc_b")
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
@@ -185,34 +236,27 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """64-bit SimHash over tf-weighted token hashes (near-dup fingerprint)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import re
-
-        tok_re = re.compile(CODE_TOKEN_PATTERN)
         bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            ids, hashes = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = np.array(tok_re.findall((text or "").lower()), dtype=object)
-                if toks.size == 0:
-                    ids.append(doc_id)
-                    hashes.append(0)
-                    continue
-                uniq, cnts = np.unique(toks, return_counts=True)
-                h = _hash_tokens_u64(uniq)
-                bits = ((h[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
-                    np.int64
+            all_ids = pdf["doc_id"].to_numpy(np.int64)
+            doc_ids, hashes, starts = _flat_doc_tokens(pdf)
+            out = np.zeros(all_ids.size, dtype=np.int64)
+            if doc_ids.size:
+                # per-flat-token ±1 bit votes, summed per doc with reduceat
+                bits = (
+                    (hashes[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                ).astype(np.int64)
+                votes = bits * 2 - 1
+                acc = np.add.reduceat(votes, starts[:-1], axis=0)
+                sh = ((acc > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+                    axis=1, dtype=np.uint64
                 )
-                acc = ((bits * 2 - 1) * cnts[:, None]).sum(axis=0)
-                sh = np.uint64(0)
-                for i in range(64):
-                    if acc[i] > 0:
-                        sh |= np.uint64(1) << np.uint64(i)
-                ids.append(doc_id)
-                hashes.append(np.int64(sh >> np.uint64(1)))
+                lookup = dict(zip(doc_ids.tolist(), (sh >> np.uint64(1)).astype(np.int64).tolist()))
+                out = np.array([lookup.get(i, 0) for i in all_ids.tolist()], dtype=np.int64)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "simhash": pd.Series(hashes, dtype="int64"),
+                    "doc_id": pd.Series(all_ids, dtype="int64"),
+                    "simhash": pd.Series(out, dtype="int64"),
                 }
             )
 

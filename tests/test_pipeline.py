@@ -1,0 +1,106 @@
+"""Training-data pipeline ops: dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard) behavioral tests against hand-constructed near-duplicates.
+
+The LSH/SimHash ops have no SQL oracle (driver records rows-only); these
+tests are their correctness gate: known near-dups must be found, unrelated
+docs must not collide, and the MinHash Jaccard estimate must track the
+exact shingle Jaccard.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from iresearch_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+]
+
+
+def _mk_doc(rng: np.random.Generator, n: int) -> str:
+    return " ".join(rng.choice(WORDS, size=n).tolist())
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rng = np.random.default_rng(7)
+    texts = [_mk_doc(rng, 120) for _ in range(20)]
+    # doc 100 = exact copy of doc 0; doc 101 = doc 1 with a small edit
+    texts_all = texts + [texts[0], texts[1].replace("alpha", "zulu", 3)]
+    ids = list(range(20)) + [100, 101]
+    pdf = pd.DataFrame(
+        {"doc_id": ids, "text": texts_all, "lang": "en", "source": "s0",
+         "n_chars": [len(t) for t in texts_all]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_exact_dedup_finds_copy(docs_df):
+    out = exact_dedup(docs_df).toPandas()
+    dup_groups = out[out["n_copies"] > 1]
+    assert len(dup_groups) == 1
+    assert int(dup_groups["keep_doc_id"].iloc[0]) == 0
+    assert int(dup_groups["n_copies"].iloc[0]) == 2
+
+
+def test_minhash_lsh_finds_near_dups(docs_df):
+    pairs = minhash_lsh_pairs(docs_df, 64, 16, 0.5).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 100) in found  # exact copy: est_jaccard == 1.0
+    exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 100)]
+    assert float(exact["est_jaccard"].iloc[0]) == 1.0
+    assert (1, 101) in found  # small edit: high but < 1
+    near = float(pairs[(pairs.doc_a == 1) & (pairs.doc_b == 101)]["est_jaccard"].iloc[0])
+    assert 0.5 <= near < 1.0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(docs_df):
+    est = minhash_lsh_pairs(docs_df, 128, 32, 0.3).toPandas()
+    exact = ngram_jaccard_pairs(docs_df, 0.0).toPandas()
+    exact_map = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(exact.doc_a, exact.doc_b, exact.jaccard)
+    }
+    checked = 0
+    for a, b, e in zip(est.doc_a, est.doc_b, est.est_jaccard):
+        # ngram_jaccard uses DISTINCT trigram sets too — comparable universe
+        j = exact_map.get((int(a), int(b)), 0.0)
+        assert abs(e - j) < 0.25, (a, b, e, j)
+        checked += 1
+    assert checked >= 2
+
+
+def test_minhash_no_spurious_collisions(docs_df):
+    pairs = minhash_lsh_pairs(docs_df, 64, 8, 0.9).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    # only the planted duplicates survive 0.9 — no unrelated collisions
+    assert (0, 100) in found
+    assert found <= {(0, 100), (1, 101)}
+
+
+def test_simhash_copy_identical_and_near_dup_close(docs_df):
+    sh = simhash_signatures(docs_df).toPandas().set_index("doc_id")["simhash"]
+    assert int(sh[0]) == int(sh[100])
+    ham_near = bin(int(sh[1]) ^ int(sh[101])).count("1")
+    assert ham_near <= 16
+    # median hamming distance of unrelated pairs stays high
+    hams = [
+        bin(int(sh[i]) ^ int(sh[j])).count("1")
+        for i in range(10)
+        for j in range(i + 1, 10)
+    ]
+    assert np.median(hams) > ham_near
+
+
+def test_simhash_emits_row_for_empty_doc(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["alpha bravo", ""]})
+    out = simhash_signatures(spark.createDataFrame(pdf)).toPandas()
+    assert sorted(out["doc_id"]) == [1, 2]
+    assert int(out.set_index("doc_id").loc[2, "simhash"]) == 0
