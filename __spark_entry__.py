@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     from iresearch_spark.search import (
         And,
+        ExistsF,
         Fuzzy,
         Not,
         Or,
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ft_fuzzy"] = lambda s, d: _ft(s, d, Fuzzy(term="spbrk", max_distance=2))
     q["ft_phrase"] = lambda s, d: _ft(s, d, Phrase(terms=("fast", "key")))
+    q["ft_exists"] = lambda s, d: _ft(s, d, ExistsF())
 
     # --- index-structure cross-checks
     def ft_doclen(s, d):
@@ -219,6 +221,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda s, d: fingerprints(_docs(s, d))
     q["text_quality"] = lambda s, d: quality_scores(_docs(s, d))
     q["text_langid"] = lambda s, d: language_id(_docs(s, d))
+    # --- multimodal: binary payload columns + typed meta (stub codec)
+    from iresearch_spark.pipeline.multimodal import (
+        assets_from_documents,
+        audio_energy,
+        decode_meta,
+        frame_sample,
+        image_features,
+    )
+
+    q["mm_decode_meta"] = lambda s, d: decode_meta(
+        assets_from_documents(_docs(s, d))
+    )
+    q["mm_image_features"] = lambda s, d: image_features(
+        assets_from_documents(_docs(s, d))
+    ).select("asset_id", F.col("mean_luma"))
+    q["mm_frame_sample"] = lambda s, d: frame_sample(
+        assets_from_documents(_docs(s, d), kind="video"), 2
+    )
+    q["mm_audio_energy"] = lambda s, d: audio_energy(
+        assets_from_documents(_docs(s, d), kind="audio")
+    )
+
     q["ann_cosine_pairs"] = lambda s, d: cosine_pairs(
         _emb(s, d), F.col("label") == 0, 0.25
     )
@@ -291,6 +315,11 @@ FROM m
 JOIN dl USING (doc_id)
 CROSS JOIN stats s
 CROSS JOIN idf i
+"""
+    o["ft_exists"] = f"""
+SELECT doc_id, 1.0 AS score
+FROM documents
+WHERE len(regexp_extract_all(lower(coalesce(text, '')), '{_TOK}')) > 0
 """
     o["ft_doclen"] = f"""
 SELECT d.doc_id,
@@ -423,6 +452,23 @@ FROM p
 QUALIFY rnk <= 10
 """
     )
-    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk: approximate/hash ops,
-    # verified in pytest against exact baselines -> rows-only driver check.
+    o["mm_decode_meta"] = """
+WITH a AS (
+  SELECT doc_id AS asset_id, 'image' AS kind,
+         coalesce(text, '') AS txt
+  FROM documents
+),
+g AS (
+  SELECT asset_id, kind, octet_length(encode(txt)) AS n_bytes,
+         sha256(txt) AS digest,
+         greatest(1, (octet_length(encode(txt)) % 64) + 1) AS width
+  FROM a
+)
+SELECT asset_id, kind, n_bytes, digest, width,
+       greatest(1, cast(floor(n_bytes / width) AS INT)) AS height
+FROM g
+"""
+    # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / mm_* featurizers:
+    # approximate/hash/stub-codec ops, verified in pytest against exact
+    # baselines -> rows-only driver check.
     return o

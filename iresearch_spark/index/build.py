@@ -155,6 +155,105 @@ def _invert_kernel(analyzer_name: str, field: str, with_positions: bool):
     return invert
 
 
+def write_segment_wave(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    pending: list[int],
+    invert,
+    field: str,
+    lineage: dict,
+) -> dict[int, dict]:
+    """Write docmeta + segment rows for the given pending segment ids, then
+    collect per-segment stats and record checkpoints. ``docs`` must already
+    carry (segment_id, doc_id). Shared by batch waves and streaming batches."""
+    sub = docs.filter(F.col("segment_id").isin(pending))
+
+    docmeta = sub.select(
+        "segment_id",
+        "doc_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
+            "content_sha256"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("content"), F.lit(""))),
+                F.lit(CODE_TOKEN_PATTERN),
+                F.lit(0),
+            )
+        ).alias("dl"),
+    )
+    docmeta.write.mode("append").partitionBy("segment_id").parquet(
+        f"{index_dir}/docmeta"
+    )
+
+    seg_df = (
+        sub.select("segment_id", "doc_id", "content")
+        .groupBy("segment_id")
+        .applyInPandas(invert, schema=SEGMENTS_SCHEMA)
+    )
+    seg_df.write.mode("append").partitionBy("segment_id").parquet(
+        f"{index_dir}/segments"
+    )
+
+    # per-segment stats: one tiny driver-side collect per wave
+    dstats = (
+        spark.read.parquet(f"{index_dir}/docmeta")
+        .filter(F.col("segment_id").isin(pending))
+        .groupBy("segment_id")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias(
+                "docs_with_field"
+            ),
+            F.sum("dl").alias("total_term_freq"),
+        )
+    )
+    sstats = (
+        spark.read.parquet(f"{index_dir}/segments")
+        .filter(F.col("segment_id").isin(pending))
+        .groupBy("segment_id")
+        .agg(
+            F.count("*").alias("terms"),
+            F.sum("docs_count").alias("sum_doc_freq"),
+            F.sum(F.length("postings")).alias("postings_bytes"),
+            F.min("term").alias("min_term"),
+            F.max("term").alias("max_term"),
+            F.expr(
+                "bit_xor(xxhash64(term, docs_count, total_tf, postings))"
+            ).alias("content_hash"),
+        )
+    )
+    stats = {
+        r["segment_id"]: r.asDict()
+        for r in dstats.join(sstats, "segment_id", "left").collect()
+    }
+    out: dict[int, dict] = {}
+    for seg in pending:
+        r = stats.get(seg, {})
+        rec = {
+            "segment_id": seg,
+            "field": field,
+            "docs": int(r.get("docs") or 0),
+            "docs_with_field": int(r.get("docs_with_field") or 0),
+            "total_term_freq": int(r.get("total_term_freq") or 0),
+            "terms": int(r.get("terms") or 0),
+            "sum_doc_freq": int(r.get("sum_doc_freq") or 0),
+            "postings_bytes": int(r.get("postings_bytes") or 0),
+            "min_term": r.get("min_term"),
+            "max_term": r.get("max_term"),
+            "content_hash": int(r.get("content_hash") or 0),
+            "lineage": dict(lineage),
+        }
+        write_checkpoint(index_dir, rec)
+        out[seg] = rec
+    return out
+
+
 def _plan_waves(num_segments: int, waves: int) -> list[list[int]]:
     ids = list(range(num_segments))
     waves = max(1, min(waves, num_segments))
@@ -215,104 +314,12 @@ def build_index(
     for wave_idx, seg_batch in enumerate(plan):
         pending = [s for s in seg_batch if s not in done]
         if pending:
-            sub = docs.filter(F.col("segment_id").isin(pending))
-
-            docmeta = sub.select(
-                "segment_id",
-                "doc_id",
-                "repo",
-                "path",
-                "commit",
-                "lang",
-                F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
-                    "content_sha256"
-                ),
-                F.size(
-                    F.regexp_extract_all(
-                        F.lower(F.coalesce(F.col("content"), F.lit(""))),
-                        F.lit(CODE_TOKEN_PATTERN),
-                        F.lit(0),
-                    )
-                ).alias("dl"),
+            recs = write_segment_wave(
+                spark, docs, index_dir, pending, invert, field,
+                lineage={"wave": wave_idx, "generation": 0},
             )
-            docmeta.write.mode("append").partitionBy("segment_id").parquet(
-                f"{index_dir}/docmeta"
-            )
-
-            seg_df = (
-                sub.select("segment_id", "doc_id", "content")
-                .groupBy("segment_id")
-                .applyInPandas(invert, schema=SEGMENTS_SCHEMA)
-            )
-            seg_df.write.mode("append").partitionBy("segment_id").parquet(
-                f"{index_dir}/segments"
-            )
-
-            # per-segment stats: one tiny driver-side collect per wave
-            dstats = (
-                spark.read.parquet(f"{index_dir}/docmeta")
-                .filter(F.col("segment_id").isin(pending))
-                .groupBy("segment_id")
-                .agg(
-                    F.count("*").alias("docs"),
-                    F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias(
-                        "docs_with_field"
-                    ),
-                    F.sum("dl").alias("total_term_freq"),
-                )
-            )
-            sstats = (
-                spark.read.parquet(f"{index_dir}/segments")
-                .filter(F.col("segment_id").isin(pending))
-                .groupBy("segment_id")
-                .agg(
-                    F.count("*").alias("terms"),
-                    F.sum("docs_count").alias("sum_doc_freq"),
-                    F.sum(F.length("postings")).alias("postings_bytes"),
-                    F.min("term").alias("min_term"),
-                    F.max("term").alias("max_term"),
-                    F.expr(
-                        "bit_xor(xxhash64(term, docs_count, total_tf, postings))"
-                    ).alias("content_hash"),
-                )
-            )
-            stats = {
-                r["segment_id"]: r.asDict()
-                for r in dstats.join(sstats, "segment_id", "left").collect()
-            }
-            for seg in pending:
-                r = stats.get(
-                    seg,
-                    {
-                        "segment_id": seg,
-                        "docs": 0,
-                        "docs_with_field": 0,
-                        "total_term_freq": 0,
-                        "terms": 0,
-                        "sum_doc_freq": 0,
-                        "postings_bytes": 0,
-                        "min_term": None,
-                        "max_term": None,
-                        "content_hash": 0,
-                    },
-                )
-                rec = {
-                    "segment_id": seg,
-                    "field": field,
-                    "docs": int(r.get("docs") or 0),
-                    "docs_with_field": int(r.get("docs_with_field") or 0),
-                    "total_term_freq": int(r.get("total_term_freq") or 0),
-                    "terms": int(r.get("terms") or 0),
-                    "sum_doc_freq": int(r.get("sum_doc_freq") or 0),
-                    "postings_bytes": int(r.get("postings_bytes") or 0),
-                    "min_term": r.get("min_term"),
-                    "max_term": r.get("max_term"),
-                    "content_hash": int(r.get("content_hash") or 0),
-                    "lineage": {"wave": wave_idx, "generation": 0},
-                }
-                write_checkpoint(index_dir, rec)
-                seg_records[seg] = rec
-                done.add(seg)
+            seg_records.update(recs)
+            done.update(recs)
 
         # commit: publish manifest covering everything checkpointed so far
         write_manifest(

@@ -2,11 +2,13 @@ from iresearch_spark.search.filters import (  # noqa: F401
     All,
     And,
     Empty,
+    ExistsF,
     Fuzzy,
     Not,
     Or,
     Phrase,
     Prefix,
+    SamePosition,
     TermF,
     TermRange,
     TermsF,

@@ -54,12 +54,14 @@ from iresearch_spark.search.filters import (
     All,
     And,
     Empty,
+    ExistsF,
     Filter,
     Fuzzy,
     Not,
     Or,
     Phrase,
     Prefix,
+    SamePosition,
     TermF,
     TermRange,
     TermsF,
@@ -155,7 +157,7 @@ class SearchEngine:
                 literal_terms.append(node.term)
             elif isinstance(node, TermsF):
                 literal_terms.extend(node.terms)
-            elif isinstance(node, Phrase):
+            elif isinstance(node, (Phrase, SamePosition)):
                 literal_terms.extend(node.terms)
             elif isinstance(node, (And, Or)):
                 for c in node.children:
@@ -235,7 +237,7 @@ class SearchEngine:
                 return {"op": "terms", "tids": tids, "min_match": node.min_match}
             if isinstance(node, (Prefix, Wildcard, TermRange, Fuzzy)):
                 return expand_multiterm(node, b)
-            if isinstance(node, Phrase):
+            if isinstance(node, (Phrase, SamePosition)):
                 nonlocal needs_positions
                 needs_positions = True
                 # stats accumulate across sub-terms into one buffer
@@ -247,7 +249,10 @@ class SearchEngine:
                     )
                 c0 = float(self.scorer.c0(b, idf_sum, dtype))
                 tids = [add_instance(t, dfs[t], b, False) for t in node.terms]
-                return {"op": "phrase", "tids": tids, "c0": c0}
+                op = "phrase" if isinstance(node, Phrase) else "same_position"
+                return {"op": op, "tids": tids, "c0": c0}
+            if isinstance(node, ExistsF):
+                return {"op": "exists", "boost": b}
             if isinstance(node, Or):
                 if all(isinstance(c, TermF) for c in node.children):
                     tids = [
@@ -405,6 +410,9 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             if op == "all":
                 docs = np.sort(doc_ids_all)
                 return docs, np.zeros(docs.size, dtype)
+            if op == "exists":
+                docs = np.sort(doc_ids_all[right["dl"].to_numpy(np.int64) > 0])
+                return docs, np.full(docs.size, dtype(node["boost"]), dtype)
             if op == "terms":
                 parts_d, parts_s = [], []
                 for tid in node["tids"]:
@@ -450,10 +458,12 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                     inter, scores = inter[keep], scores[keep]
                 return inter, scores
             if op == "phrase":
-                return eval_phrase(node)
+                return eval_phrase(node, gapped=True)
+            if op == "same_position":
+                return eval_phrase(node, gapped=False)
             raise ValueError(op)
 
-        def eval_phrase(node: dict) -> tuple[np.ndarray, np.ndarray]:
+        def eval_phrase(node: dict, gapped: bool = True) -> tuple[np.ndarray, np.ndarray]:
             tids = node["tids"]
             terms = [instances[t]["term"] for t in tids]
             rows = [rows_by_term.get(t) for t in terms]
@@ -481,7 +491,10 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             for i, doc in enumerate(cand):
                 m = per_doc_pos[0][int(doc)]
                 for gap, pd_pos in enumerate(per_doc_pos[1:], start=1):
-                    m = np.intersect1d(m, pd_pos[int(doc)] - gap, assume_unique=True)
+                    shift = gap if gapped else 0
+                    m = np.intersect1d(
+                        m, pd_pos[int(doc)] - shift, assume_unique=True
+                    )
                     if m.size == 0:
                         break
                 phrase_freqs[i] = m.size

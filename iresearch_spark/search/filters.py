@@ -100,6 +100,26 @@ class Phrase(Filter):
 
 
 @dataclass(frozen=True)
+class SamePosition(Filter):
+    """Terms co-occurring at the identical position (by_same_position,
+    `core/search/same_position_filter.cpp`): a conjunction whose match is
+    verified by a non-empty intersection of the terms' position lists;
+    scored like a fixed phrase (tf = number of shared positions)."""
+
+    field_name: str = "content"
+    terms: tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class ExistsF(Filter):
+    """Field-presence filter (by_column_existence,
+    `core/search/column_existence_filter.cpp`): docs where the field has at
+    least one token (dl > 0); constant score = boost."""
+
+    field_name: str = "content"
+
+
+@dataclass(frozen=True)
 class All(Filter):
     pass
 
@@ -150,4 +170,11 @@ def rewrite(f: Filter) -> Filter:
             return Empty()
         if f.min_match > len(f.terms):
             return Empty()
+    if isinstance(f, (Phrase, SamePosition)):
+        # degenerate 1-term positional filters are plain term queries
+        # (phrase_filter.cpp prepares a single fixed term as a term query)
+        if not f.terms:
+            return Empty()
+        if len(f.terms) == 1:
+            return TermF(boost=f.boost, field_name=f.field_name, term=f.terms[0])
     return f

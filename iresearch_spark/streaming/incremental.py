@@ -1,0 +1,164 @@
+"""Incremental (streaming) index maintenance.
+
+The reference is a batch/incremental indexer: each `IndexWriter::Commit()`
+publishes a new generation containing freshly flushed segments, and
+background consolidation merges small segments (`core/index/index_writer.cpp`
+two-phase commit; SURVEY §2.6 "Streaming"). The Structured Streaming
+analogue: a ``foreachBatch`` sink where every micro-batch becomes a set of
+new segments plus an atomic manifest publish — one manifest generation per
+micro-batch, exactly the reference's commit model.
+
+Idempotence / exactly-once: Spark may retry a micro-batch after a failure.
+Each committed batch id is recorded in the manifest; a replayed batch id is
+skipped (classic foreachBatch dedup), and segment data written by a failed
+attempt is wiped before the rewrite because the attempt's segment ids are
+deterministic.
+
+Scale notes: each micro-batch shuffles once on its own segment ids, exactly
+like a batch wave; segment ids are disjoint across generations so queries
+and consolidation see one uniform segments table. Small streaming segments
+are expected — run `plan_tier` + `merge_segments` (consolidation) on a
+cadence, like the reference's background consolidation thread.
+"""
+
+from __future__ import annotations
+
+import glob
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from iresearch_spark.index.build import (
+    _invert_kernel,
+    segment_expr,
+    write_segment_wave,
+)
+from iresearch_spark.index.manifest import Manifest, read_manifest, write_manifest
+
+
+class IncrementalIndexer:
+    """Appends micro-batches of corpus rows to an index as new segments.
+
+    Use directly (``indexer.process_batch(df, batch_id)``) or as a
+    Structured Streaming ``foreachBatch`` sink via :func:`index_stream`.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        segments_per_batch: int = 4,
+        field: str = "content",
+        analyzer: str = "code",
+        with_positions: bool = True,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.segments_per_batch = segments_per_batch
+        self.field = field
+        self.analyzer = analyzer
+        self.with_positions = with_positions
+        self._invert = _invert_kernel(analyzer, field, with_positions)
+
+    # ------------------------------------------------------------ manifest
+    def _manifest(self) -> Manifest:
+        m = read_manifest(self.index_dir)
+        if m is None:
+            m = Manifest(
+                format_version=1,
+                num_segments=0,
+                field_name=self.field,
+                analyzer=self.analyzer,
+                with_positions=self.with_positions,
+                segments=[],
+            )
+        return m
+
+    def committed_batches(self) -> set[int]:
+        m = read_manifest(self.index_dir)
+        if m is None:
+            return set()
+        return {
+            s["lineage"]["batch_id"]
+            for s in m.segments
+            if "batch_id" in s.get("lineage", {})
+        }
+
+    # ------------------------------------------------------------ batches
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
+        """foreachBatch body: new segments + one manifest generation."""
+        m = self._manifest()
+        if batch_id in self.committed_batches():
+            return {"batch_id": batch_id, "skipped": True}
+
+        base = 1 + max((s["segment_id"] for s in m.segments), default=-1)
+        seg_ids = list(range(base, base + self.segments_per_batch))
+
+        # wipe data left by a failed attempt of this batch (same ids)
+        for sub in ("docmeta", "segments"):
+            for d in glob.glob(f"{self.index_dir}/{sub}/segment_id=*"):
+                if int(d.rsplit("=", 1)[1]) in set(seg_ids):
+                    shutil.rmtree(d)
+
+        w = Window.partitionBy("segment_id").orderBy("repo", "path", "commit")
+        docs = (
+            batch_df.withColumn(
+                "segment_id",
+                segment_expr(self.segments_per_batch) + F.lit(base),
+            )
+            .withColumn("doc_id", F.row_number().over(w))
+        )
+        recs = write_segment_wave(
+            self.spark, docs, self.index_dir, seg_ids, self._invert,
+            self.field, lineage={"batch_id": int(batch_id), "generation": 1},
+        )
+        live = {s["segment_id"]: s for s in m.segments}
+        live.update(recs)
+        write_manifest(
+            self.index_dir,
+            Manifest(
+                format_version=m.format_version,
+                num_segments=base + self.segments_per_batch,
+                field_name=m.field_name,
+                analyzer=m.analyzer,
+                with_positions=m.with_positions,
+                segments=sorted(live.values(), key=lambda s: s["segment_id"]),
+            ),
+        )
+        return {
+            "batch_id": batch_id,
+            "segments": seg_ids,
+            "docs": sum(r["docs"] for r in recs.values()),
+        }
+
+
+def index_stream(
+    stream_df: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+    segments_per_batch: int = 4,
+    trigger_seconds: float | None = None,
+    **indexer_kwargs,
+):
+    """Attach an IncrementalIndexer to a streaming corpus DataFrame.
+
+    ``stream_df`` must have the corpus shape (repo, path, commit, lang,
+    content). Returns the started StreamingQuery; Spark's checkpoint plus
+    the batch-id dedup in the manifest gives end-to-end exactly-once.
+    """
+    indexer = IncrementalIndexer(
+        stream_df.sparkSession, index_dir,
+        segments_per_batch=segments_per_batch, **indexer_kwargs,
+    )
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(lambda df, bid: indexer.process_batch(df, bid))
+    )
+    if trigger_seconds is not None:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

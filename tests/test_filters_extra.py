@@ -1,0 +1,55 @@
+"""SamePosition (by_same_position) and ExistsF (by_column_existence) filters.
+
+The code analyzer emits one token per position, so distinct terms can never
+share a position — same_position(a, b) must be empty while the degenerate
+self-intersection case scores like a double-boosted term query (score is
+linear in c0: score = c0 * tf / (c1 + tf))."""
+
+import numpy as np
+import pytest
+
+from iresearch_spark.corpus import generate_corpus
+from iresearch_spark.index.build import build_index
+from iresearch_spark.search import ExistsF, SamePosition, SearchEngine, TermF
+from iresearch_spark.search.filters import Empty, rewrite
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("idx_extra"))
+    corpus = generate_corpus(spark, 200, num_partitions=2, min_tokens=40,
+                             max_tokens=300)
+    build_index(spark, corpus, index_dir, num_segments=2)
+    return SearchEngine(spark, index_dir)
+
+
+def test_exists_matches_all_docs_with_field(engine):
+    res = engine.search(ExistsF(boost=2.5), k=None, with_identity=False).toPandas()
+    total = engine.docs_with_field
+    assert len(res) == total
+    assert (res["score"] == np.float32(2.5)).all()
+
+
+def test_same_position_distinct_terms_empty(engine):
+    res = engine.search(
+        SamePosition(terms=("import", "return")), k=10, with_identity=False
+    ).toPandas()
+    assert len(res) == 0
+
+
+def test_same_position_self_doubles_score(engine):
+    term = engine.search(TermF(term="import"), k=20, with_identity=False).toPandas()
+    sp = engine.search(
+        SamePosition(terms=("import", "import")), k=20, with_identity=False
+    ).toPandas()
+    assert term[["segment_id", "doc_id"]].values.tolist() == \
+        sp[["segment_id", "doc_id"]].values.tolist()
+    np.testing.assert_allclose(
+        sp["score"].to_numpy(), 2.0 * term["score"].to_numpy(), rtol=1e-5
+    )
+
+
+def test_rewrites():
+    assert rewrite(SamePosition(terms=())) == Empty()
+    assert rewrite(SamePosition(terms=("x",))) == TermF(term="x")
+    assert rewrite(SamePosition(terms=("x", "y"))) == SamePosition(terms=("x", "y"))

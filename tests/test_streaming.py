@@ -1,0 +1,78 @@
+"""Streaming incremental indexing: micro-batches == commit generations.
+
+Gate: a corpus indexed incrementally (several micro-batches) must answer
+queries identically to the same corpus indexed in one batch build — BM25
+stats are global (manifest-wide), so scores are segmentation-invariant.
+"""
+
+import shutil
+
+import pytest
+
+from iresearch_spark.corpus import generate_corpus
+from iresearch_spark.index import build_index, read_manifest
+from iresearch_spark.search import Or, SearchEngine, TermF
+from iresearch_spark.streaming import IncrementalIndexer, index_stream
+
+N_DOCS = 300
+
+
+def _topk(spark, index_dir, k=15):
+    eng = SearchEngine(spark, index_dir)
+    q = Or(children=(TermF(term="import"), TermF(term="return")))
+    rows = eng.search(q, k=k).collect()
+    return [(r["repo"], r["path"], r["commit"], round(r["score"], 5)) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def batch_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx") / "batch")
+    build_index(spark, generate_corpus(spark, N_DOCS, 4), d, num_segments=4)
+    return d
+
+
+def test_incremental_matches_batch_build(spark, tmp_path_factory, batch_index):
+    d = str(tmp_path_factory.mktemp("idx") / "incr")
+    corpus = generate_corpus(spark, N_DOCS, 4)
+    idxer = IncrementalIndexer(spark, d, segments_per_batch=3)
+    # three disjoint micro-batches (deterministic split on crc32 of path)
+    from pyspark.sql import functions as F
+
+    for b in range(3):
+        part = corpus.filter(F.pmod(F.crc32("path"), F.lit(3)) == b)
+        res = idxer.process_batch(part, b)
+        assert res["docs"] > 0
+    m = read_manifest(d)
+    assert len(m.segments) == 9
+    assert sum(s["docs"] for s in m.segments) == N_DOCS
+    assert _topk(spark, d) == _topk(spark, batch_index)
+
+
+def test_replayed_batch_is_skipped(spark, tmp_path):
+    d = str(tmp_path / "idx")
+    corpus = generate_corpus(spark, 50, 2)
+    idxer = IncrementalIndexer(spark, d, segments_per_batch=2)
+    idxer.process_batch(corpus, 0)
+    before = read_manifest(d).to_json()
+    res = idxer.process_batch(corpus, 0)  # foreachBatch retry
+    assert res.get("skipped") is True
+    assert read_manifest(d).to_json() == before
+
+
+def test_readstream_file_source(spark, tmp_path, batch_index):
+    src = str(tmp_path / "src")
+    generate_corpus(spark, N_DOCS, 6).write.parquet(src)
+    d = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = index_stream(stream, d, ckpt, segments_per_batch=2)
+    q.awaitTermination(120)
+    assert not q.isActive
+    m = read_manifest(d)
+    assert sum(s["docs"] for s in m.segments) == N_DOCS
+    assert len(m.segments) >= 4  # >=2 micro-batches happened
+    assert _topk(spark, d) == _topk(spark, batch_index)
