@@ -73,6 +73,195 @@ def assign_doc_ids(corpus: DataFrame, num_segments: int) -> DataFrame:
     )
 
 
+# Analyzers with a JVM (Catalyst expression) twin. When available, the build
+# tokenizes JVM-side: regexp + posexplode + xxhash64 run inside whole-stage
+# codegen, and the Python kernel only ever sees fixed-width integers. This
+# avoids the memory-bandwidth wall of allocating millions of Python string
+# objects per partition (measured: the object-string kernel stops scaling at
+# ~8 concurrent workers; the int kernel scales with cores).
+JVM_TOKENIZERS = {
+    "code": lambda col: F.regexp_extract_all(
+        F.lower(F.coalesce(col, F.lit(""))), F.lit(CODE_TOKEN_PATTERN), F.lit(0)
+    ),
+}
+JVM_TOKENIZERS["segmentation"] = JVM_TOKENIZERS["code"]
+
+HASH_SEGMENTS_SCHEMA = (
+    "segment_id int, h long, docs_count int, total_tf long, "
+    "postings binary, block_offsets array<long>, last_docs array<long>, "
+    "max_freqs array<long>, min_norms array<long>, "
+    "positions binary, pos_offsets array<long>"
+)
+
+
+def _invert_hash_kernel(with_positions: bool):
+    """Pure-integer invert: one input row per doc (segment_id, doc_id, dl,
+    hs array<long> of per-token hashes) -> one output row per term hash with
+    encoded postings. Same math as ``_invert_kernel`` with the term identity
+    carried as a 64-bit hash; term strings are joined back JVM-side from the
+    per-segment dictionary. Token positions are the array ordinals."""
+
+    cols = [c.split()[0] for c in HASH_SEGMENTS_SCHEMA.split(", ")]
+
+    def invert(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty:
+            return pd.DataFrame(columns=cols)
+        segment_id = int(pdf["segment_id"].iloc[0])
+        doc_ids = pdf["doc_id"].to_numpy(np.int64)
+        hs = pdf["hs"].to_numpy(dtype=object)
+        counts = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(columns=cols)
+        flat_h = np.concatenate([np.asarray(x, dtype=np.int64) for x in hs])
+        doc_rep = np.repeat(doc_ids, counts)
+        doc_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, counts)
+
+        order = np.lexsort((pos, doc_rep, flat_h))
+        sh, sd, sp = flat_h[order], doc_rep[order], pos[order]
+
+        posting_start = np.empty(total, dtype=bool)
+        posting_start[0] = True
+        posting_start[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        pstarts = np.flatnonzero(posting_start)
+        freqs = np.diff(np.append(pstarts, total))
+        p_docs = sd[pstarts]
+        p_hashes = sh[pstarts]
+
+        dl_lookup = np.zeros(int(doc_ids.max()) + 1, dtype=np.int64)
+        dl_lookup[doc_ids] = counts
+        p_dls = dl_lookup[p_docs]
+
+        term_start_mask = np.empty(pstarts.size, dtype=bool)
+        term_start_mask[0] = True
+        term_start_mask[1:] = p_hashes[1:] != p_hashes[:-1]
+        tstarts = np.flatnonzero(term_start_mask)
+        term_lengths = np.diff(np.append(tstarts, pstarts.size))
+
+        blobs, offs, lasts, maxf, minn = encode_postings_batch(
+            p_docs, freqs, p_dls, term_lengths
+        )
+        total_tf = np.add.reduceat(freqs, tstarts)
+
+        out = {
+            "segment_id": np.full(term_lengths.size, segment_id, dtype=np.int32),
+            "h": p_hashes[tstarts],
+            "docs_count": term_lengths.astype(np.int32),
+            "total_tf": total_tf.astype(np.int64),
+            "postings": blobs,
+            "block_offsets": offs,
+            "last_docs": lasts,
+            "max_freqs": maxf,
+            "min_norms": minn,
+        }
+        if with_positions:
+            pblobs, poffs = encode_positions_batch(freqs, sp, term_lengths)
+            out["positions"] = pblobs
+            out["pos_offsets"] = poffs
+        else:
+            out["positions"] = None
+            out["pos_offsets"] = None
+        return pd.DataFrame(out)
+
+    return invert
+
+
+def make_seg_builder(
+    spark: SparkSession,
+    analyzer: str,
+    field: str,
+    with_positions: bool,
+    jvm_tokenize: bool | None = None,
+    verify_dictionary: bool = True,
+    out_partitions: int | None = None,
+):
+    """Returns seg_builder(sub) -> segments DataFrame (SEGMENTS_SCHEMA).
+
+    Picks the JVM-tokenized integer path when the analyzer has a Catalyst
+    twin (default), else the Python-tokenizer grouped kernel."""
+    use_jvm = (
+        analyzer in JVM_TOKENIZERS if jvm_tokenize is None else jvm_tokenize
+    )
+    if not use_jvm:
+        invert = _invert_kernel(analyzer, field, with_positions)
+
+        def build_py(sub: DataFrame) -> DataFrame:
+            return (
+                sub.select("segment_id", "doc_id", "content")
+                .groupBy("segment_id")
+                .applyInPandas(invert, schema=SEGMENTS_SCHEMA)
+            )
+
+        return build_py
+
+    toks_expr = JVM_TOKENIZERS[analyzer]
+    invert_h = _invert_hash_kernel(with_positions)
+
+    def build_jvm(sub: DataFrame) -> DataFrame:
+        # materialize the token array once per doc (a named column — putting
+        # the regexp expression inline next to explode/transform makes
+        # Catalyst re-evaluate it per produced row; measured 10x slowdown)
+        arr = sub.select(
+            "segment_id", "doc_id", toks_expr(F.col("content")).alias("toks")
+        )
+        # kernel feed: per-doc hash arrays, fixed-width ints end to end —
+        # no Python string objects anywhere in the hot path
+        kernel_in = arr.select(
+            "segment_id",
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.expr("transform(toks, t -> xxhash64(t))").alias("hs"),
+        )
+        seg_hash = kernel_in.groupBy("segment_id").applyInPandas(
+            invert_h, schema=HASH_SEGMENTS_SCHEMA
+        )
+        # per-segment term dictionary for the hash -> term join back;
+        # min==max detects (astronomically unlikely) xxhash64 collisions and
+        # raise_error makes the guard free — no extra pass over the corpus
+        dic = (
+            arr.select(
+                "segment_id", F.explode(F.array_distinct("toks")).alias("term")
+            )
+            .groupBy("segment_id", F.xxhash64("term").alias("h"))
+            .agg(F.min("term").alias("term"), F.max("term").alias("term_max"))
+        )
+        if verify_dictionary:
+            term_col = F.when(
+                F.col("term") == F.col("term_max"), F.col("term")
+            ).otherwise(
+                F.raise_error(
+                    F.concat(F.lit("xxhash64 term collision: "), F.col("term"))
+                )
+            )
+        else:
+            term_col = F.col("term")
+        out = seg_hash.join(dic, ["segment_id", "h"]).select(
+            "segment_id",
+            F.lit(field).alias("field"),
+            term_col.alias("term"),
+            "docs_count",
+            "total_tf",
+            "postings",
+            "block_offsets",
+            "last_docs",
+            "max_freqs",
+            "min_norms",
+            "positions",
+            "pos_offsets",
+        )
+        # explicit partition count: AQE would coalesce the small-by-bytes
+        # join output into a couple of partitions, serializing the (CPU
+        # heavy) parquet encode of the blob/array columns into 1-2 tasks.
+        # One task per segment also yields the one-file-per-segment layout.
+        n_out = out_partitions or spark.sparkContext.defaultParallelism
+        return out.repartition(n_out, "segment_id").sortWithinPartitions(
+            "segment_id", "term"
+        )
+
+    return build_jvm
+
+
 def _invert_kernel(analyzer_name: str, field: str, with_positions: bool):
     analyzer = get_analyzer(analyzer_name)
 
@@ -160,7 +349,7 @@ def write_segment_wave(
     docs: DataFrame,
     index_dir: str,
     pending: list[int],
-    invert,
+    seg_builder,
     field: str,
     lineage: dict,
 ) -> dict[int, dict]:
@@ -191,11 +380,7 @@ def write_segment_wave(
         f"{index_dir}/docmeta"
     )
 
-    seg_df = (
-        sub.select("segment_id", "doc_id", "content")
-        .groupBy("segment_id")
-        .applyInPandas(invert, schema=SEGMENTS_SCHEMA)
-    )
+    seg_df = seg_builder(sub)
     seg_df.write.mode("append").partitionBy("segment_id").parquet(
         f"{index_dir}/segments"
     )
@@ -272,6 +457,8 @@ def build_index(
     waves: int = 1,
     fail_after_waves: int | None = None,
     resume: bool = False,
+    jvm_tokenize: bool | None = None,
+    verify_dictionary: bool = True,
 ) -> dict:
     """Build (or resume) the index; returns build metrics.
 
@@ -305,7 +492,10 @@ def build_index(
                 if int(d.rsplit("=", 1)[1]) not in done:
                     shutil.rmtree(d)
     plan = _plan_waves(num_segments, waves)
-    invert = _invert_kernel(analyzer, field, with_positions)
+    seg_builder = make_seg_builder(
+        spark, analyzer, field, with_positions, jvm_tokenize,
+        verify_dictionary, out_partitions=num_segments,
+    )
 
     seg_records: dict[int, dict] = dict(read_checkpoints(index_dir)) if resume else {}
     committed_waves = 0
@@ -315,7 +505,7 @@ def build_index(
         pending = [s for s in seg_batch if s not in done]
         if pending:
             recs = write_segment_wave(
-                spark, docs, index_dir, pending, invert, field,
+                spark, docs, index_dir, pending, seg_builder, field,
                 lineage={"wave": wave_idx, "generation": 0},
             )
             seg_records.update(recs)

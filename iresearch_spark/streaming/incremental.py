@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iresearch_spark.index.build import (
-    _invert_kernel,
+    make_seg_builder,
     segment_expr,
     write_segment_wave,
 )
@@ -59,7 +59,10 @@ class IncrementalIndexer:
         self.field = field
         self.analyzer = analyzer
         self.with_positions = with_positions
-        self._invert = _invert_kernel(analyzer, field, with_positions)
+        self._seg_builder = make_seg_builder(
+            spark, analyzer, field, with_positions,
+            out_partitions=segments_per_batch,
+        )
 
     # ------------------------------------------------------------ manifest
     def _manifest(self) -> Manifest:
@@ -110,7 +113,7 @@ class IncrementalIndexer:
             .withColumn("doc_id", F.row_number().over(w))
         )
         recs = write_segment_wave(
-            self.spark, docs, self.index_dir, seg_ids, self._invert,
+            self.spark, docs, self.index_dir, seg_ids, self._seg_builder,
             self.field, lineage={"batch_id": int(batch_id), "generation": 1},
         )
         live = {s["segment_id"]: s for s in m.segments}
