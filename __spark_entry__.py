@@ -189,6 +189,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_phrase"] = lambda s, d: _ft(s, d, Phrase(terms=("fast", "key")))
     q["ft_exists"] = lambda s, d: _ft(s, d, ExistsF())
 
+    def ft_tfidf(s, d):
+        from iresearch_spark.search import SearchEngine, TFIDF
+
+        base = _engine(s, d)  # ensures the index exists
+        eng = SearchEngine(s, base.index_dir, scorer=TFIDF())
+        res = eng.search(
+            Or(children=(TermF(term="window"), TermF(term="batch"))),
+            k=None, dtype="float64",
+        )
+        return res.select(
+            F.col("path").cast("int").alias("doc_id"),
+            F.round(F.col("score"), 4).alias("score"),
+        )
+
+    q["ft_tfidf"] = ft_tfidf
+
     # --- index-structure cross-checks
     def ft_doclen(s, d):
         eng = _engine(s, d)
@@ -315,6 +331,22 @@ FROM m
 JOIN dl USING (doc_id)
 CROSS JOIN stats s
 CROSS JOIN idf i
+"""
+    o["ft_tfidf"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n FROM dl),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       round(sum(sqrt(tf.tf) * ln(1.0 + (s.n + 1.0) / (df.df + 1.0))), 4) AS score
+FROM tf JOIN df USING (term) CROSS JOIN stats s
+WHERE tf.term IN ('window', 'batch')
+GROUP BY tf.doc_id
 """
     o["ft_exists"] = f"""
 SELECT doc_id, 1.0 AS score

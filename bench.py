@@ -57,15 +57,21 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     build_sec = time.perf_counter() - t0
     entry_mod._INDEX_CACHE[os.path.abspath(sf_dir)] = idx_dir
 
-    # ---- throughput build over the larger synthetic corpus (bench scale)
+    # ---- throughput build over the larger synthetic corpus (bench scale);
+    # corpus is materialized first so the timer sees pure indexing work
     from iresearch_spark.corpus import generate_corpus
 
     n_synth = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
-    synth = generate_corpus(spark, n_synth, num_partitions=4 * cpus)
+    synth_src = _fresh_dir("synth_src")
+    generate_corpus(spark, n_synth, num_partitions=4 * cpus).write.parquet(
+        synth_src
+    )
+    synth = spark.read.parquet(synth_src)
     synth_dir = _fresh_dir("synth")
     t0 = time.perf_counter()
     build_index(spark, synth, synth_dir, num_segments=2 * cpus)
     synth_sec = time.perf_counter() - t0
+    shutil.rmtree(synth_src, ignore_errors=True)
 
     # ---- headline queries (forced with count())
     qs = entry_mod.queries()
@@ -141,12 +147,16 @@ def run_scaling(n_small: int) -> dict:
 
     The corpus is materialized to parquet once (untimed) so both runs time
     pure index-build work — the metric is indexing throughput, not synthetic
-    data generation.
+    data generation. The sandbox host has noisy neighbors and strong
+    JIT/page-cache warm-up effects, so the protocol is: interleaved rounds
+    (N, 4N, N, 4N), a generous warm-up build per session, two timed builds
+    per session, min over everything per config.
     """
     from iresearch_spark.corpus import generate_corpus
     from iresearch_spark.session import get_spark
 
-    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "100000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "400000"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
     n_parts = 16 * n_small  # fixed across both runs: identical work units
     n_large = 4 * n_small
     corpus_path = _fresh_dir("scale_corpus")
@@ -155,10 +165,16 @@ def run_scaling(n_small: int) -> dict:
         corpus_path
     )
     spark.stop()
-    t_small, docs = _scaling_build(n_small, corpus_path, n_parts,
-                                   warmup_docs=2000)
-    t_large, _ = _scaling_build(n_large, corpus_path, n_parts,
-                                warmup_docs=2000)
+    warm = max(10000, n_docs // 20)
+    t_small = t_large = float("inf")
+    docs = n_docs
+    for _ in range(rounds):
+        t, docs = _scaling_build(n_small, corpus_path, n_parts,
+                                 warmup_docs=warm)
+        t_small = min(t_small, t)
+        t, _ = _scaling_build(n_large, corpus_path, n_parts,
+                              warmup_docs=warm)
+        t_large = min(t_large, t)
     shutil.rmtree(corpus_path, ignore_errors=True)
     thr_small = docs / t_small
     thr_large = docs / t_large

@@ -43,9 +43,16 @@ def get_spark(
         # the Spark analogue of the reference's segment_memory_max
         # (core/index/index_writer.hpp:128-132).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode = one JVM for driver + all executor threads: size the
+        # heap for the thread count and use the throughput collector —
+        # stop-the-world GC pauses are a SERIAL cost that caps scaling
+        # (measured ~30s of pauses per 400k-doc build on the default 8g heap)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Djava.io.tmpdir=/tmp -XX:+UseParallelGC",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
