@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         And,
         ExistsF,
         Fuzzy,
+        NGramSimilarity,
         Not,
         Or,
         Phrase,
@@ -188,6 +189,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_fuzzy"] = lambda s, d: _ft(s, d, Fuzzy(term="spbrk", max_distance=2))
     q["ft_phrase"] = lambda s, d: _ft(s, d, Phrase(terms=("fast", "key")))
     q["ft_exists"] = lambda s, d: _ft(s, d, ExistsF())
+    # LCS-based ngram similarity: no tractable SQL twin -> rows-only check,
+    # semantics pytest-verified (tests/test_ngram_similarity.py)
+    q["ft_ngram_similarity"] = lambda s, d: _ft(
+        s, d, NGramSimilarity(terms=("fast", "join", "query"), threshold=0.6)
+    )
 
     def ft_tfidf(s, d):
         from iresearch_spark.search import SearchEngine, TFIDF
@@ -237,6 +243,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda s, d: fingerprints(_docs(s, d))
     q["text_quality"] = lambda s, d: quality_scores(_docs(s, d))
     q["text_langid"] = lambda s, d: language_id(_docs(s, d))
+    # --- relational analogues of reference filters (SURVEY §2.3):
+    # by_granular_range -> native numeric BETWEEN with pushdown;
+    # ByNestedFilter -> parent/child semi-join (orders having a matching
+    # lineitem), cf. nested_filter.cpp parent-child doc matching
+    def rel_granular_range(s, d):
+        li = s.read.parquet(f"{d}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_quantity").between(30, 40))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            )
+        )
+
+    q["rel_granular_range"] = rel_granular_range
+
+    def rel_nested_semijoin(s, d):
+        orders = s.read.parquet(f"{d}/orders.parquet")
+        li = s.read.parquet(f"{d}/lineitem.parquet")
+        child_match = li.filter(F.col("l_quantity") >= 48).select(
+            "l_orderkey"
+        ).distinct()
+        return (
+            orders.join(
+                child_match, orders.o_orderkey == child_match.l_orderkey, "semi"
+            )
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+            )
+        )
+
+    q["rel_nested_semijoin"] = rel_nested_semijoin
+
+    def rel_nested_antijoin(s, d):
+        orders = s.read.parquet(f"{d}/orders.parquet")
+        li = s.read.parquet(f"{d}/lineitem.parquet")
+        child_match = li.filter(F.col("l_quantity") >= 48).select("l_orderkey")
+        return (
+            orders.join(
+                child_match, orders.o_orderkey == child_match.l_orderkey, "anti"
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"))
+        )
+
+    q["rel_nested_antijoin"] = rel_nested_antijoin
+
     # --- multimodal: binary payload columns + typed meta (stub codec)
     from iresearch_spark.pipeline.multimodal import (
         assets_from_documents,
@@ -484,6 +540,29 @@ FROM p
 QUALIFY rnk <= 10
 """
     )
+    o["rel_granular_range"] = """
+SELECT l_returnflag,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_quantity BETWEEN 30 AND 40
+GROUP BY l_returnflag
+"""
+    o["rel_nested_semijoin"] = """
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+GROUP BY o_orderstatus
+"""
+    o["rel_nested_antijoin"] = """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders
+WHERE o_orderkey NOT IN (
+  SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48
+)
+GROUP BY o_orderstatus
+"""
     o["mm_decode_meta"] = """
 WITH a AS (
   SELECT doc_id AS asset_id, 'image' AS kind,

@@ -18,11 +18,12 @@ The Spark reading of `core/index/merge_writer.cpp` + the tier policy of
   ``encode_postings_batch`` — no per-term Python.
 
 Skew note (10^12-file scale): bucketing by term hash spreads the dictionary
-uniformly; a single pathological term (`import` across every doc on earth)
-still serializes one group, whose cost is one linear numpy pass over its
-postings — the two-level salted merge (partial merges keyed by
-``(term, segment_range)``) is the documented escalation and is what
-``bucket_count`` parameterizes toward.
+uniformly, and terms whose total postings bytes exceed ``hot_term_bytes``
+are promoted to a dedicated bucket each (tiny hot set -> broadcast join), so
+no task carries more than max(hottest term, average bucket). A single term's
+postings remain one task — the format keeps one blob per (segment, field,
+term); sharding the blob itself (two-level salted merge) is the next
+escalation if a single term outgrows one executor.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from iresearch_spark.codec import (
@@ -90,6 +91,7 @@ def merge_segments(
     seg_ids: Sequence[int],
     bucket_count: int = 64,
     cleanup: bool = True,
+    hot_term_bytes: int = 64 << 20,
 ) -> dict:
     """Merge the given segments into one new segment; returns merge metrics."""
     import glob
@@ -190,10 +192,37 @@ def merge_segments(
     seg_df = spark.read.parquet(f"{index_dir}/segments").filter(
         F.col("segment_id").isin(list(seg_ids))
     )
-    merged = (
-        seg_df.withColumn(
-            "bucket", F.pmod(F.xxhash64("field", "term"), F.lit(bucket_count))
+    # Hot-term skew: Zipfian terms (`import`, `int`) can dominate a hash
+    # bucket and straggle the whole merge. Terms whose total postings bytes
+    # exceed hot_term_bytes get a dedicated bucket each (the hot set is tiny
+    # -> broadcast join); everything else hashes uniformly. A single term's
+    # postings stay in one task — the storage format keeps one blob per
+    # (segment, field, term) — so the per-task bound is max(hottest term,
+    # average bucket), the best achievable without sharding the blob.
+    hot = (
+        seg_df.groupBy("field", "term")
+        .agg(F.sum(F.length("postings")).alias("hot_bytes"))
+        .filter(F.col("hot_bytes") > hot_term_bytes)
+        .select(
+            "field",
+            "term",
+            (
+                F.row_number().over(
+                    Window.orderBy("field", "term")
+                ) + F.lit(bucket_count)
+            ).alias("solo_bucket"),
         )
+    )
+    merged = (
+        seg_df.join(F.broadcast(hot), ["field", "term"], "left")
+        .withColumn(
+            "bucket",
+            F.coalesce(
+                F.col("solo_bucket"),
+                F.pmod(F.xxhash64("field", "term"), F.lit(bucket_count)),
+            ),
+        )
+        .drop("solo_bucket")
         .groupBy("bucket")
         .applyInPandas(
             lambda key, pdf: merge_bucket(pdf.drop(columns=["bucket"])),

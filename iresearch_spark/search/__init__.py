@@ -4,6 +4,7 @@ from iresearch_spark.search.filters import (  # noqa: F401
     Empty,
     ExistsF,
     Fuzzy,
+    NGramSimilarity,
     Not,
     Or,
     Phrase,

@@ -57,6 +57,7 @@ from iresearch_spark.search.filters import (
     ExistsF,
     Filter,
     Fuzzy,
+    NGramSimilarity,
     Not,
     Or,
     Phrase,
@@ -157,7 +158,7 @@ class SearchEngine:
                 literal_terms.append(node.term)
             elif isinstance(node, TermsF):
                 literal_terms.extend(node.terms)
-            elif isinstance(node, (Phrase, SamePosition)):
+            elif isinstance(node, (Phrase, SamePosition, NGramSimilarity)):
                 literal_terms.extend(node.terms)
             elif isinstance(node, (And, Or)):
                 for c in node.children:
@@ -237,8 +238,19 @@ class SearchEngine:
                 return {"op": "terms", "tids": tids, "min_match": node.min_match}
             if isinstance(node, (Prefix, Wildcard, TermRange, Fuzzy)):
                 return expand_multiterm(node, b)
-            if isinstance(node, (Phrase, SamePosition)):
+            if isinstance(node, NGramSimilarity):
                 nonlocal needs_positions
+                needs_positions = True
+                tids = [
+                    add_instance(t, dfs[t], b, False) for t in node.terms
+                ]
+                return {
+                    "op": "ngram_sim",
+                    "tids": tids,
+                    "threshold": float(node.threshold),
+                    "boost": float(b),
+                }
+            if isinstance(node, (Phrase, SamePosition)):
                 needs_positions = True
                 # stats accumulate across sub-terms into one buffer
                 # (bm25.cpp:381 `stats->idf +=`): phrase c0 = boost*(k+1)*sum(idf)
@@ -461,6 +473,8 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                 return eval_phrase(node, gapped=True)
             if op == "same_position":
                 return eval_phrase(node, gapped=False)
+            if op == "ngram_sim":
+                return eval_ngram_sim(node)
             raise ValueError(op)
 
         def eval_phrase(node: dict, gapped: bool = True) -> tuple[np.ndarray, np.ndarray]:
@@ -505,6 +519,81 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                 phrase_freqs[keep], dl_arr[docs], c0, norm_const, norm_length, dtype
             )
             return docs, scores
+
+        def eval_ngram_sim(node: dict) -> tuple[np.ndarray, np.ndarray]:
+            """LCS-based ngram similarity (ngram_similarity_query.cpp,
+            simplified: match degree = longest positionally-ordered common
+            subsequence of query grams and the doc's gram occurrences)."""
+            tids = node["tids"]
+            k = len(tids)
+            thr = node["threshold"]
+            min_d = max(1, int(np.ceil(thr * k)))
+            terms = [instances[t]["term"] for t in tids]
+            uniq_terms = list(dict.fromkeys(terms))
+            postings = {t: full_postings(t) for t in uniq_terms}
+            mult = {t: terms.count(t) for t in uniq_terms}
+            present = [t for t in uniq_terms if postings[t][0].size]
+            if not present:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            # conservative upper bound of match degree per doc
+            all_d = np.concatenate([postings[t][0] for t in present])
+            weights = np.concatenate(
+                [np.full(postings[t][0].size, mult[t]) for t in present]
+            )
+            uniq_docs, inv = np.unique(all_d, return_inverse=True)
+            ub = np.zeros(uniq_docs.size, dtype=np.int64)
+            np.add.at(ub, inv, weights)
+            cand = uniq_docs[ub >= min_d]
+            if cand.size == 0:
+                return cand, np.empty(0, dtype)
+            # positions per (gram, candidate doc)
+            pos_by_term: dict[str, dict[int, np.ndarray]] = {}
+            for t in present:
+                d, f_ = postings[t]
+                r = rows_by_term[t]
+                flat = decode_positions(r.positions, f_)
+                starts = np.concatenate([[0], np.cumsum(f_)])
+                both = np.intersect1d(d, cand, assume_unique=True)
+                sel = np.searchsorted(d, both)
+                pos_by_term[t] = {
+                    int(doc): flat[starts[j]: starts[j + 1]]
+                    for doc, j in zip(both, sel)
+                }
+            gram_idx = {t: [i for i, q in enumerate(terms) if q == t]
+                        for t in uniq_terms}
+            out_docs, out_scores = [], []
+            for doc in cand:
+                evs_pos, evs_gram = [], []
+                for t in present:
+                    pl = pos_by_term[t].get(int(doc))
+                    if pl is None:
+                        continue
+                    for gi in gram_idx[t]:
+                        evs_pos.append(pl)
+                        evs_gram.append(np.full(pl.size, gi, dtype=np.int64))
+                if not evs_pos:
+                    continue
+                pos_all = np.concatenate(evs_pos)
+                gram_all = np.concatenate(evs_gram)
+                # same-pos events sorted by DESCENDING gram index so one
+                # token occurrence can never serve two query slots
+                order_ = np.lexsort((-gram_all, pos_all))
+                seq = gram_all[order_]
+                # LCS(seq, [0..k-1]) — O(len(seq) * k) DP
+                dp = np.zeros(k + 1, dtype=np.int64)
+                for s in seq:
+                    prev = dp[s]
+                    better = prev + 1
+                    if better > dp[s + 1]:
+                        dp[s + 1:] = np.maximum(dp[s + 1:], better)
+                d_val = int(dp[k])
+                if d_val >= min_d and d_val / k >= thr - 1e-12:
+                    out_docs.append(int(doc))
+                    out_scores.append(node["boost"] * d_val / k)
+            return (
+                np.asarray(out_docs, dtype=np.int64),
+                np.asarray(out_scores, dtype=dtype),
+            )
 
         # -------------------------------------------------- WAND path
         def wand_terms(node: dict) -> tuple[np.ndarray, np.ndarray]:

@@ -100,6 +100,20 @@ class Phrase(Filter):
 
 
 @dataclass(frozen=True)
+class NGramSimilarity(Filter):
+    """by_ngram_similarity (`core/search/ngram_similarity_filter.hpp:30-60`,
+    `ngram_similarity_query.cpp`): docs whose token stream contains a
+    positionally-ordered subsequence of the query gram sequence covering at
+    least ``threshold`` of it. Match degree d = LCS(query grams, doc stream
+    restricted to query grams); matches iff d/len(terms) >= threshold;
+    score = boost * d / len(terms)."""
+
+    field_name: str = "content"
+    terms: tuple[str, ...] = ()
+    threshold: float = 0.7
+
+
+@dataclass(frozen=True)
 class SamePosition(Filter):
     """Terms co-occurring at the identical position (by_same_position,
     `core/search/same_position_filter.cpp`): a conjunction whose match is
@@ -170,6 +184,11 @@ def rewrite(f: Filter) -> Filter:
             return Empty()
         if f.min_match > len(f.terms):
             return Empty()
+    if isinstance(f, NGramSimilarity):
+        if not f.terms or f.threshold > 1.0:
+            return Empty()
+        if len(f.terms) == 1 and f.threshold > 0:
+            return TermF(boost=f.boost, field_name=f.field_name, term=f.terms[0])
     if isinstance(f, (Phrase, SamePosition)):
         # degenerate 1-term positional filters are plain term queries
         # (phrase_filter.cpp prepares a single fixed term as a term query)

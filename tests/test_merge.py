@@ -83,3 +83,23 @@ def test_consolidate_to_single_segment(spark, index_dir):
     assert max(gens) >= 1
     after = _results(spark, index_dir)
     assert before == after
+
+
+def test_merge_hot_term_solo_bucket(spark, tmp_path):
+    """Forcing every term above the hot threshold must still produce a
+    byte-identical merged segment (solo buckets change task layout only)."""
+    from iresearch_spark.corpus import generate_corpus
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.index.manifest import read_manifest
+    from iresearch_spark.index.merge import merge_segments
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for d in (d1, d2):
+        build_index(spark, generate_corpus(spark, 120, 2), d, num_segments=2)
+    merge_segments(spark, d1, [0, 1], hot_term_bytes=0)  # everything "hot"
+    merge_segments(spark, d2, [0, 1])  # normal hash buckets
+    m1 = read_manifest(d1).segments[-1]
+    m2 = read_manifest(d2).segments[-1]
+    assert m1["content_hash"] == m2["content_hash"]
+    assert m1["terms"] == m2["terms"]
+    assert m1["postings_bytes"] == m2["postings_bytes"]
