@@ -76,6 +76,30 @@ def pipeline(*stages: Analyzer) -> Analyzer:
     return run
 
 
+# default English stopword list of the reference's `text` analyzer is
+# locale-dependent; this fixed small set keeps builds deterministic
+DEFAULT_STOPWORDS = frozenset(
+    "a an and are as at be by for from has he in is it its of on that the "
+    "to was were will with".split()
+)
+
+
+def text_analyzer(
+    s: pd.Series, stopwords: frozenset[str] = DEFAULT_STOPWORDS
+) -> pd.Series:
+    """`text` analyzer core pipeline (text_token_stream.cpp): locale word
+    split + lower + stopword removal. Accent-strip and snowball stemming are
+    omitted (no ICU/stemmer in this environment; positions/token identity
+    semantics are what the engine consumes)."""
+    return stopwords_filter(code_analyzer(s), stopwords)
+
+
+def stopwords_analyzer(
+    s: pd.Series, stopwords: frozenset[str] = DEFAULT_STOPWORDS
+) -> pd.Series:
+    return stopwords_filter(identity_analyzer(s), stopwords)
+
+
 ANALYZERS: dict[str, Analyzer] = {
     "code": code_analyzer,
     "segmentation": code_analyzer,
@@ -83,6 +107,8 @@ ANALYZERS: dict[str, Analyzer] = {
     "norm": norm_lower_analyzer,
     "delimiter": delimiter_analyzer,
     "ngram": ngram_analyzer,
+    "text": text_analyzer,
+    "stopwords": stopwords_analyzer,
 }
 
 

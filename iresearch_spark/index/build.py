@@ -86,6 +86,22 @@ JVM_TOKENIZERS = {
 }
 JVM_TOKENIZERS["segmentation"] = JVM_TOKENIZERS["code"]
 
+def make_dl_expr(analyzer: str):
+    """Per-doc token count (the Norm2 ``dl``) under the BUILD analyzer —
+    must match what the invert kernel counts, or BM25 norms are wrong.
+    JVM expression when a Catalyst twin exists, else an Arrow UDF running
+    the same Python analyzer."""
+    if analyzer in JVM_TOKENIZERS:
+        return F.size(JVM_TOKENIZERS[analyzer](F.col("content")))
+    fn = get_analyzer(analyzer)
+
+    @F.pandas_udf("int")
+    def dl_udf(s: pd.Series) -> pd.Series:
+        return fn(s.fillna("")).str.len().astype("int32")
+
+    return dl_udf(F.coalesce(F.col("content"), F.lit("")))
+
+
 HASH_SEGMENTS_SCHEMA = (
     "segment_id int, h long, docs_count int, total_tf long, "
     "postings binary, block_offsets array<long>, last_docs array<long>, "
@@ -352,6 +368,7 @@ def write_segment_wave(
     seg_builder,
     field: str,
     lineage: dict,
+    dl_expr=None,
 ) -> dict[int, dict]:
     """Write docmeta + segment rows for the given pending segment ids, then
     collect per-segment stats and record checkpoints. ``docs`` must already
@@ -368,13 +385,7 @@ def write_segment_wave(
         F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
             "content_sha256"
         ),
-        F.size(
-            F.regexp_extract_all(
-                F.lower(F.coalesce(F.col("content"), F.lit(""))),
-                F.lit(CODE_TOKEN_PATTERN),
-                F.lit(0),
-            )
-        ).alias("dl"),
+        (dl_expr if dl_expr is not None else make_dl_expr("code")).alias("dl"),
     )
     docmeta.write.mode("append").partitionBy("segment_id").parquet(
         f"{index_dir}/docmeta"
@@ -496,6 +507,7 @@ def build_index(
         spark, analyzer, field, with_positions, jvm_tokenize,
         verify_dictionary, out_partitions=num_segments,
     )
+    dl_expr = make_dl_expr(analyzer)
 
     seg_records: dict[int, dict] = dict(read_checkpoints(index_dir)) if resume else {}
     committed_waves = 0
@@ -507,6 +519,7 @@ def build_index(
             recs = write_segment_wave(
                 spark, docs, index_dir, pending, seg_builder, field,
                 lineage={"wave": wave_idx, "generation": 0},
+                dl_expr=dl_expr,
             )
             seg_records.update(recs)
             done.update(recs)

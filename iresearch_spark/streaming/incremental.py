@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from iresearch_spark.index.build import (
+    make_dl_expr,
     make_seg_builder,
     segment_expr,
     write_segment_wave,
@@ -115,6 +116,7 @@ class IncrementalIndexer:
         recs = write_segment_wave(
             self.spark, docs, self.index_dir, seg_ids, self._seg_builder,
             self.field, lineage={"batch_id": int(batch_id), "generation": 1},
+            dl_expr=make_dl_expr(self.analyzer),
         )
         live = {s["segment_id"]: s for s in m.segments}
         live.update(recs)

@@ -122,3 +122,37 @@ def test_build_deterministic_across_parallelism(spark, built):
     h1 = {s["segment_id"]: s["content_hash"] for s in m1.segments}
     h2 = {s["segment_id"]: s["content_hash"] for s in m2.segments}
     assert h1 == h2
+
+
+def test_text_analyzer_build_drops_stopwords(spark, tmp_path):
+    """Index built with the `text` analyzer (Python kernel path — no JVM
+    twin) must not contain stopword terms, and dl counts exclude them."""
+    import pandas as pd
+
+    from iresearch_spark.search import SearchEngine, TermF
+
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r", "r"],
+            "path": ["p1", "p2"],
+            "commit": ["c1", "c2"],
+            "lang": ["t", "t"],
+            "content": ["the quick fox and the dog", "a fox"],
+        }
+    )
+    d = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(pdf), d, num_segments=1, analyzer="text"
+    )
+    seg = spark.read.parquet(f"{d}/segments")
+    terms = {r["term"] for r in seg.select("term").collect()}
+    assert terms == {"quick", "fox", "dog"}
+    # docmeta dl must count ANALYZER tokens (norms input), not raw tokens
+    dls = {
+        r["path"]: r["dl"]
+        for r in spark.read.parquet(f"{d}/docmeta").collect()
+    }
+    assert dls == {"p1": 3, "p2": 1}
+    eng = SearchEngine(spark, d)
+    hits = eng.search(TermF(term="fox"), k=10).collect()
+    assert len(hits) == 2
