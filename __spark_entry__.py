@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from iresearch_spark.pipeline.similarity import (
         cosine_pairs,
         cosine_topk,
+        ivf_topk,
         lsh_ann_topk,
     )
     from iresearch_spark.pipeline.text import (
@@ -293,6 +294,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rel_nested_antijoin"] = rel_nested_antijoin
 
+    # --- event-time windowed aggregation (the micro-batch/streaming shape:
+    # F.window is the same operator Structured Streaming uses with a
+    # watermark; here verified batch-side against a SQL twin)
+    def evt_tumbling_window(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet")
+        return (
+            ev.groupBy(
+                F.window("ts", "1 hour").alias("w"), "event_type"
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    q["evt_tumbling_window"] = evt_tumbling_window
+
+    def evt_json_extract(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet")
+        return (
+            ev.select(
+                "event_id",
+                F.get_json_object("props", "$.k").cast("int").alias("k"),
+            )
+            .filter(F.col("k") % 7 == 0)
+        )
+
+    q["evt_json_extract"] = evt_json_extract
+
     # --- multimodal: binary payload columns + typed meta (stub codec)
     from iresearch_spark.pipeline.multimodal import (
         assets_from_documents,
@@ -323,6 +361,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(
         _emb(s, d), F.col("vec_id") < 5, 10
+    )
+    q["ann_ivf_topk"] = lambda s, d: ivf_topk(
+        _emb(s, d), F.col("vec_id") < 5, 10, nlist=16, nprobe=6
     )
     return q
 
@@ -562,6 +603,20 @@ WHERE o_orderkey NOT IN (
   SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48
 )
 GROUP BY o_orderstatus
+"""
+    o["evt_tumbling_window"] = """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+    o["evt_json_extract"] = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
 """
     o["mm_decode_meta"] = """
 WITH a AS (

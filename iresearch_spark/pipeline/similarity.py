@@ -72,6 +72,120 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 10) -> DataFrame:
     )
 
 
+def _sq_dist(vec, centroid_lit):
+    return F.aggregate(
+        F.zip_with(
+            vec, centroid_lit,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _l2_normalized(emb: DataFrame) -> DataFrame:
+    """vec_id + unit-norm embedding: cosine NN == L2 NN on the unit sphere,
+    which is what the IVF quantizer must be trained on."""
+    n = _norm(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / n
+        ).alias("embedding"),
+    )
+
+
+def train_ivf_centroids(
+    emb: DataFrame, nlist: int = 16, iters: int = 3, dim: int = 64
+) -> np.ndarray:
+    """Deterministic distributed Lloyd iterations for the IVF coarse
+    quantizer over UNIT-NORM vectors. Init = the nlist vectors with the
+    lowest xxhash64(vec_id) (parallelism-invariant); each iteration is one
+    groupBy over cell assignments (posexplode -> per-dim mean), all
+    DataFrame ops."""
+    emb = _l2_normalized(emb)
+    seed_rows = (
+        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(nlist)
+        .collect()
+    )
+    cents = np.array([list(r["embedding"]) for r in seed_rows], dtype=np.float64)
+    for _ in range(iters):
+        cent_lits = [
+            F.array(*[F.lit(float(v)) for v in row]) for row in cents
+        ]
+        dists = F.array(*[_sq_dist(F.col("embedding"), c) for c in cent_lits])
+        assigned = emb.select(
+            (F.array_position(dists, F.array_min(dists)) - 1).alias("cell"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cents.copy()
+        for r in rows:
+            new[int(r["cell"]), int(r["pos"])] = float(r["m"])
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame, query_pred, k: int = 10, nlist: int = 16, nprobe: int = 4,
+    iters: int = 3, dim: int = 64,
+) -> DataFrame:
+    """IVF approximate NN: coarse k-means quantizer partitions the corpus
+    into nlist cells; each query scans only its nprobe nearest cells, then
+    exact cosine re-ranks candidates. The scale path when the LSH signature
+    family fits poorly: candidates ∝ n * nprobe / nlist, and the cell join
+    replaces the O(n·q) crossJoin."""
+    cents = train_ivf_centroids(emb, nlist, iters, dim)
+    cent_lits = [F.array(*[F.lit(float(v)) for v in row]) for row in cents]
+    dists = F.array(*[_sq_dist(F.col("embedding"), c) for c in cent_lits])
+    norm_cells = _l2_normalized(emb).select(
+        "vec_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).alias("cell"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    ).join(norm_cells.withColumnRenamed("vec_id", "cid"), "cid")
+    # query probes its nprobe nearest cells (sorted squared distances)
+    idx = F.sequence(F.lit(0), F.lit(nlist - 1))
+    order = F.transform(
+        F.slice(
+            F.array_sort(
+                F.zip_with(dists, idx, lambda d_, i: F.struct(
+                    d_.alias("d"), i.alias("i")))
+            ),
+            1, nprobe,
+        ),
+        lambda s: s["i"],
+    )
+    probe = _l2_normalized(emb.filter(query_pred)).select(
+        "vec_id", F.explode(order).alias("cell")
+    )
+    q = (
+        emb.filter(query_pred)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        .join(probe.withColumnRenamed("vec_id", "qid"), "qid")
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = (
+        q.join(c, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.round(cos, 4).alias("cosine"))
+        .dropDuplicates(["qid", "cid"])
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", "cid", "cosine", "rnk")
+    )
+
+
 def _hyperplanes(dim: int, bits: int, seed: int = 7) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))
