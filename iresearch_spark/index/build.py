@@ -396,9 +396,10 @@ def write_segment_wave(
         f"{index_dir}/segments"
     )
 
-    # per-segment stats: one tiny driver-side collect per wave
+    # per-segment stats: one tiny driver-side collect per wave (explicit
+    # schemas: an all-empty wave writes no files, inference would fail)
     dstats = (
-        spark.read.parquet(f"{index_dir}/docmeta")
+        spark.read.schema(DOCMETA_SCHEMA).parquet(f"{index_dir}/docmeta")
         .filter(F.col("segment_id").isin(pending))
         .groupBy("segment_id")
         .agg(
@@ -410,7 +411,7 @@ def write_segment_wave(
         )
     )
     sstats = (
-        spark.read.parquet(f"{index_dir}/segments")
+        spark.read.schema(SEGMENTS_SCHEMA).parquet(f"{index_dir}/segments")
         .filter(F.col("segment_id").isin(pending))
         .groupBy("segment_id")
         .agg(

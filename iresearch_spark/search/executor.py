@@ -49,6 +49,7 @@ from iresearch_spark.codec import (
     decode_positions,
     decode_postings,
 )
+from iresearch_spark.index.build import DOCMETA_SCHEMA, SEGMENTS_SCHEMA
 from iresearch_spark.index.manifest import read_manifest
 from iresearch_spark.search.filters import (
     All,
@@ -102,20 +103,29 @@ class SearchEngine:
         ]
         if with_positions:
             cols += ["positions", "pos_offsets"]
-        return self.spark.read.parquet(f"{self.index_dir}/segments").select(*cols)
+        return (
+            self.spark.read.schema(SEGMENTS_SCHEMA)
+            .parquet(f"{self.index_dir}/segments")
+            .select(*cols)
+        )
 
     def norms_df(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/docmeta").select(
-            "segment_id", "doc_id", "dl"
+        return (
+            self.spark.read.schema(DOCMETA_SCHEMA)
+            .parquet(f"{self.index_dir}/docmeta")
+            .select("segment_id", "doc_id", "dl")
         )
 
     def docmeta_df(self) -> DataFrame:
-        return self.spark.read.parquet(f"{self.index_dir}/docmeta")
+        return self.spark.read.schema(DOCMETA_SCHEMA).parquet(
+            f"{self.index_dir}/docmeta"
+        )
 
     def _dictionary(self, predicate) -> list[tuple[str, int]]:
         """Distinct matching terms + global docs_count, predicate pushed down."""
         rows = (
-            self.spark.read.parquet(f"{self.index_dir}/segments")
+            self.spark.read.schema(SEGMENTS_SCHEMA)
+            .parquet(f"{self.index_dir}/segments")
             .filter((F.col("field") == self.field) & predicate)
             .groupBy("term")
             .agg(F.sum("docs_count").alias("df"))
@@ -127,7 +137,8 @@ class SearchEngine:
         if not terms:
             return {}
         rows = (
-            self.spark.read.parquet(f"{self.index_dir}/segments")
+            self.spark.read.schema(SEGMENTS_SCHEMA)
+            .parquet(f"{self.index_dir}/segments")
             .filter(
                 (F.col("field") == self.field) & F.col("term").isin(list(set(terms)))
             )
