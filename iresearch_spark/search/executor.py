@@ -150,6 +150,41 @@ class SearchEngine:
         out.update({r["term"]: int(r["df"]) for r in rows})
         return out
 
+    def _expand_leaf_terms(self, leaf) -> list[tuple[str, int]]:
+        """Matching (term, global df) pairs for a multi-term leaf."""
+        if isinstance(leaf, Prefix):
+            pred = F.col("term").startswith(leaf.prefix)
+        elif isinstance(leaf, Wildcard):
+            pred = F.col("term").like(leaf.pattern)
+        elif isinstance(leaf, TermRange):
+            pred = F.lit(True)
+            if leaf.min_term is not None:
+                pred = pred & (
+                    F.col("term") >= leaf.min_term
+                    if leaf.include_min
+                    else F.col("term") > leaf.min_term
+                )
+            if leaf.max_term is not None:
+                pred = pred & (
+                    F.col("term") <= leaf.max_term
+                    if leaf.include_max
+                    else F.col("term") < leaf.max_term
+                )
+        elif isinstance(leaf, Fuzzy):
+            pred = (
+                (F.length("term") >= len(leaf.term) - leaf.max_distance)
+                & (F.length("term") <= len(leaf.term) + leaf.max_distance)
+                & (
+                    F.levenshtein(F.col("term"), F.lit(leaf.term))
+                    <= leaf.max_distance
+                )
+            )
+        else:  # pragma: no cover
+            raise TypeError(leaf)
+        matched = self._dictionary(pred)
+        matched.sort(key=lambda td: td[0])
+        return matched
+
     # ------------------------------------------------------------- prepare
     def prepare(self, f: Filter, dtype_name: str = "float32") -> _Prepared:
         dtype = np.float32 if dtype_name == "float32" else np.float64
@@ -169,8 +204,16 @@ class SearchEngine:
                 literal_terms.append(node.term)
             elif isinstance(node, TermsF):
                 literal_terms.extend(node.terms)
-            elif isinstance(node, (Phrase, SamePosition, NGramSimilarity)):
+            elif isinstance(node, NGramSimilarity):
                 literal_terms.extend(node.terms)
+            elif isinstance(node, (Phrase, SamePosition)):
+                for el in node.terms:
+                    if isinstance(el, str):
+                        literal_terms.append(el)
+                    elif isinstance(el, TermF):
+                        literal_terms.append(el.term)
+                    elif isinstance(el, TermsF):
+                        literal_terms.extend(el.terms)
             elif isinstance(node, (And, Or)):
                 for c in node.children:
                     collect_terms(c)
@@ -263,17 +306,40 @@ class SearchEngine:
                 }
             if isinstance(node, (Phrase, SamePosition)):
                 needs_positions = True
-                # stats accumulate across sub-terms into one buffer
-                # (bm25.cpp:381 `stats->idf +=`): phrase c0 = boost*(k+1)*sum(idf)
+                # each phrase slot is a term SET: a plain string (fixed
+                # phrase) or a multi-term leaf (variadic phrase,
+                # phrase_filter.hpp:38-150 "variadic" case). Slot df for idf
+                # = union docs_count of the slot's terms.
+                groups: list[list[int]] = []
+                slot_dfs: list[int] = []
+                for el in node.terms:
+                    if isinstance(el, str):
+                        slot_terms = [(el, dfs[el])]
+                    elif isinstance(el, TermF):
+                        slot_terms = [(el.term, dfs.get(el.term) or
+                                       self._term_dfs([el.term])[el.term])]
+                    elif isinstance(el, TermsF):
+                        d2 = self._term_dfs(list(el.terms))
+                        slot_terms = [(t, d2[t]) for t in el.terms]
+                    elif isinstance(el, (Prefix, Wildcard, TermRange, Fuzzy)):
+                        slot_terms = self._expand_leaf_terms(el)
+                    else:
+                        raise TypeError(f"bad phrase element {el!r}")
+                    groups.append(
+                        [add_instance(t, df_, b, False) for t, df_ in slot_terms]
+                    )
+                    slot_dfs.append(sum(df_ for _, df_ in slot_terms))
+                # stats accumulate across slots into one buffer
+                # (bm25.cpp:381 `stats->idf +=`): c0 = boost*(k+1)*sum(idf)
                 idf_sum = dtype(0.0)
-                for t in node.terms:
+                for df_ in slot_dfs:
                     idf_sum = dtype(
-                        idf_sum + self.scorer.idf(self.docs_with_field, dfs[t], dtype)
+                        idf_sum
+                        + self.scorer.idf(self.docs_with_field, df_, dtype)
                     )
                 c0 = float(self.scorer.c0(b, idf_sum, dtype))
-                tids = [add_instance(t, dfs[t], b, False) for t in node.terms]
                 op = "phrase" if isinstance(node, Phrase) else "same_position"
-                return {"op": op, "tids": tids, "c0": c0}
+                return {"op": op, "groups": groups, "c0": c0}
             if isinstance(node, ExistsF):
                 return {"op": "exists", "boost": b}
             if isinstance(node, Or):
@@ -282,11 +348,14 @@ class SearchEngine:
                         add_instance(c.term, dfs[c.term], b * c.boost, True)
                         for c in node.children
                     ]
-                    return {"op": "terms", "tids": tids, "min_match": node.min_match}
+                    return {"op": "terms", "tids": tids,
+                            "min_match": node.min_match,
+                            "merge": node.merge_type}
                 return {
                     "op": "or",
                     "children": [compile_node(c, b) for c in node.children],
                     "min_match": node.min_match,
+                    "merge": node.merge_type,
                 }
             if isinstance(node, And):
                 pos, neg = [], []
@@ -425,6 +494,29 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             c0 = dtype(inst["c0"])
             return scorer.score(freqs, dl_arr[docs], c0, norm_const, norm_length, dtype)
 
+        def merge_union(parts_d, parts_s, min_match, merge):
+            """Union with min_match; sub-scores combined per ScoreMergeType
+            (sum/max/min, scorer.hpp:223-237)."""
+            all_d = np.concatenate(parts_d)
+            all_s = np.concatenate(parts_s)
+            if all_d.size == 0:
+                return all_d.astype(np.int64), all_s.astype(dtype)
+            uniq, inv = np.unique(all_d, return_inverse=True)
+            if merge == "sum":
+                scores = np.zeros(uniq.size, dtype)
+                np.add.at(scores, inv, all_s)
+            elif merge == "max":
+                scores = np.full(uniq.size, -np.inf, dtype)
+                np.maximum.at(scores, inv, all_s)
+            elif merge == "min":
+                scores = np.full(uniq.size, np.inf, dtype)
+                np.minimum.at(scores, inv, all_s)
+            else:  # pragma: no cover
+                raise ValueError(merge)
+            counts = np.bincount(inv, minlength=uniq.size)
+            mask = counts >= min_match
+            return uniq[mask], scores[mask]
+
         # -------------------------------------------------- exhaustive eval
         def eval_node(node: dict) -> tuple[np.ndarray, np.ndarray]:
             op = node["op"]
@@ -444,26 +536,14 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                     parts_s.append(inst_score(tid, d, f_))
                 if not parts_d:
                     return np.empty(0, np.int64), np.empty(0, dtype)
-                all_d = np.concatenate(parts_d)
-                all_s = np.concatenate(parts_s)
-                uniq, inv = np.unique(all_d, return_inverse=True)
-                scores = np.zeros(uniq.size, dtype)
-                np.add.at(scores, inv, all_s)
-                counts = np.bincount(inv, minlength=uniq.size)
-                mask = counts >= node["min_match"]
-                return uniq[mask], scores[mask]
+                return merge_union(parts_d, parts_s, node["min_match"],
+                                   node.get("merge", "sum"))
             if op == "or":
                 parts = [eval_node(c) for c in node["children"]]
-                all_d = np.concatenate([p[0] for p in parts])
-                all_s = np.concatenate([p[1] for p in parts])
-                if all_d.size == 0:
-                    return all_d, all_s.astype(dtype)
-                uniq, inv = np.unique(all_d, return_inverse=True)
-                scores = np.zeros(uniq.size, dtype)
-                np.add.at(scores, inv, all_s)
-                counts = np.bincount(inv, minlength=uniq.size)
-                mask = counts >= node["min_match"]
-                return uniq[mask], scores[mask]
+                return merge_union([p[0] for p in parts],
+                                   [p[1] for p in parts],
+                                   node["min_match"],
+                                   node.get("merge", "sum"))
             if op == "and":
                 parts = [eval_node(c) for c in node["children"]]
                 # cost order: smallest doc set leads (conjunction.hpp:438-460)
@@ -489,40 +569,70 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             raise ValueError(op)
 
         def eval_phrase(node: dict, gapped: bool = True) -> tuple[np.ndarray, np.ndarray]:
-            tids = node["tids"]
-            terms = [instances[t]["term"] for t in tids]
-            rows = [rows_by_term.get(t) for t in terms]
-            if any(r is None for r in rows):
-                return np.empty(0, np.int64), np.empty(0, dtype)
-            posting = [full_postings(t) for t in terms]
-            cand = posting[0][0]
-            for d, _ in posting[1:]:
+            groups = node["groups"]
+            # per slot: union of member-term postings
+            slot_docs: list[np.ndarray] = []
+            slot_members: list[list[str]] = []
+            for g in groups:
+                terms_g = [instances[t]["term"] for t in g]
+                terms_g = [t for t in terms_g if t in rows_by_term]
+                if not terms_g:
+                    return np.empty(0, np.int64), np.empty(0, dtype)
+                docs_u = (
+                    full_postings(terms_g[0])[0]
+                    if len(terms_g) == 1
+                    else np.union1d(
+                        *[full_postings(t)[0] for t in terms_g]
+                    )
+                    if len(terms_g) == 2
+                    else np.unique(
+                        np.concatenate([full_postings(t)[0] for t in terms_g])
+                    )
+                )
+                slot_docs.append(docs_u)
+                slot_members.append(terms_g)
+            cand = slot_docs[0]
+            for d in slot_docs[1:]:
                 cand = np.intersect1d(cand, d, assume_unique=True)
             if cand.size == 0:
                 return cand, np.empty(0, dtype)
-            # decode positions for candidate docs only
+            # per slot, positions per candidate doc (union over member terms)
             per_doc_pos: list[dict[int, np.ndarray]] = []
-            for (d, f_), r in zip(posting, rows):
-                flat = decode_positions(r.positions, f_)
-                starts = np.concatenate([[0], np.cumsum(f_)])
-                sel = np.searchsorted(d, cand)
-                per_doc_pos.append(
-                    {
-                        int(doc): flat[starts[j] : starts[j + 1]]
-                        for doc, j in zip(cand, sel)
-                    }
-                )
+            for terms_g in slot_members:
+                slot_map: dict[int, np.ndarray] = {}
+                for t in terms_g:
+                    d, f_ = full_postings(t)
+                    r = rows_by_term[t]
+                    flat = decode_positions(r.positions, f_)
+                    starts = np.concatenate([[0], np.cumsum(f_)])
+                    both = np.intersect1d(d, cand, assume_unique=True)
+                    sel = np.searchsorted(d, both)
+                    for doc, j in zip(both, sel):
+                        pl = flat[starts[j]: starts[j + 1]]
+                        key = int(doc)
+                        if key in slot_map:
+                            slot_map[key] = np.union1d(slot_map[key], pl)
+                        else:
+                            slot_map[key] = pl
+                per_doc_pos.append(slot_map)
             phrase_freqs = np.zeros(cand.size, dtype=np.int64)
             for i, doc in enumerate(cand):
-                m = per_doc_pos[0][int(doc)]
-                for gap, pd_pos in enumerate(per_doc_pos[1:], start=1):
-                    shift = gap if gapped else 0
-                    m = np.intersect1d(
-                        m, pd_pos[int(doc)] - shift, assume_unique=True
-                    )
-                    if m.size == 0:
+                m = per_doc_pos[0].get(int(doc))
+                if m is None:
+                    continue
+                ok = True
+                for gap, slot_map in enumerate(per_doc_pos[1:], start=1):
+                    pl = slot_map.get(int(doc))
+                    if pl is None:
+                        ok = False
                         break
-                phrase_freqs[i] = m.size
+                    shift = gap if gapped else 0
+                    m = np.intersect1d(m, pl - shift, assume_unique=True)
+                    if m.size == 0:
+                        ok = False
+                        break
+                if ok:
+                    phrase_freqs[i] = m.size
             keep = phrase_freqs > 0
             docs = cand[keep]
             c0 = dtype(node["c0"])
@@ -687,6 +797,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             wand
             and tree["op"] == "terms"
             and tree["min_match"] == 1
+            and tree.get("merge", "sum") == "sum"
             and all(instances[t]["scored"] for t in tree["tids"])
         )
         docs, scores = wand_terms(tree) if use_wand else eval_node(tree)

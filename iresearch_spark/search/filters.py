@@ -46,8 +46,13 @@ class And(Filter):
 
 @dataclass(frozen=True)
 class Or(Filter):
+    """Disjunction with minimum-should-match; ``merge_type`` picks how
+    sub-scores combine (ScoreMergeType {kSum,kMax,kMin}, scorer.hpp:223-237;
+    kNoop == unscored sub-filters)."""
+
     children: tuple[Filter, ...] = ()
     min_match: int = 1
+    merge_type: str = "sum"  # sum | max | min
 
 
 @dataclass(frozen=True)
@@ -93,10 +98,13 @@ class Fuzzy(Filter):
 
 @dataclass(frozen=True)
 class Phrase(Filter):
-    """Fixed phrase: terms at adjacent positions (by_phrase, fixed case)."""
+    """Phrase: one element per position (by_phrase). Elements are plain
+    strings (fixed phrase) or multi-term leaves — TermF/TermsF/Prefix/
+    Wildcard/TermRange/Fuzzy — for the variadic case
+    (`core/search/phrase_filter.hpp:38-150`)."""
 
     field_name: str = "content"
-    terms: tuple[str, ...] = ()
+    terms: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -178,7 +186,8 @@ def rewrite(f: Filter) -> Filter:
             return rewrite(And(boost=f.boost, children=tuple(kids)))
         if n == 1:
             return kids[0]
-        return Or(boost=f.boost, children=tuple(kids), min_match=m)
+        return Or(boost=f.boost, children=tuple(kids), min_match=m,
+                  merge_type=f.merge_type)
     if isinstance(f, TermsF):
         if not f.terms:
             return Empty()
@@ -194,6 +203,6 @@ def rewrite(f: Filter) -> Filter:
         # (phrase_filter.cpp prepares a single fixed term as a term query)
         if not f.terms:
             return Empty()
-        if len(f.terms) == 1:
+        if len(f.terms) == 1 and isinstance(f.terms[0], str):
             return TermF(boost=f.boost, field_name=f.field_name, term=f.terms[0])
     return f

@@ -53,3 +53,76 @@ def test_rewrites():
     assert rewrite(SamePosition(terms=())) == Empty()
     assert rewrite(SamePosition(terms=("x",))) == TermF(term="x")
     assert rewrite(SamePosition(terms=("x", "y"))) == SamePosition(terms=("x", "y"))
+
+
+def test_or_merge_types(engine):
+    from iresearch_spark.search import Or
+
+    terms = (TermF(term="import"), TermF(term="return"))
+    per_term = {
+        t.term: {
+            (r["segment_id"], r["doc_id"]): np.float64(r["score"])
+            for r in engine.search(t, k=None, with_identity=False,
+                                   dtype="float64").collect()
+        }
+        for t in terms
+    }
+
+    def expect(reducer):
+        out = {}
+        for scores in per_term.values():
+            for key, s in scores.items():
+                out[key] = reducer(out[key], s) if key in out else s
+        return out
+
+    for mt, red in (("sum", lambda a, b: a + b), ("max", max), ("min", min)):
+        got = {
+            (r["segment_id"], r["doc_id"]): np.float64(r["score"])
+            for r in engine.search(
+                Or(children=terms, merge_type=mt), k=None,
+                with_identity=False, dtype="float64", wand=False,
+            ).collect()
+        }
+        exp = expect(red)
+        assert got.keys() == exp.keys(), mt
+        for key in got:
+            assert abs(got[key] - exp[key]) < 1e-9, (mt, key)
+
+
+def test_variadic_phrase(spark, tmp_path_factory):
+    """Phrase slots holding multi-term leaves (variadic by_phrase)."""
+    import pandas as pd
+
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.search import Phrase, Prefix, SearchEngine, TermsF
+
+    texts = {
+        "ab": "alpha beta gamma",
+        "ab2": "alpha bexxx gamma",
+        "ag": "alpha gamma beta",
+        "xb": "xray beta gamma",
+    }
+    pdf = pd.DataFrame(
+        {"repo": ["r"] * 4, "path": list(texts), "commit": list(texts),
+         "lang": ["t"] * 4, "content": list(texts.values())}
+    )
+    d = str(tmp_path_factory.mktemp("idx_vp"))
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=1)
+    eng = SearchEngine(spark, d)
+
+    def paths(filt):
+        return sorted(r["path"] for r in eng.search(filt, k=None).collect())
+
+    # "alpha <be...>": prefix slot matches beta AND bexxx
+    assert paths(Phrase(terms=("alpha", Prefix(prefix="be")))) == ["ab", "ab2"]
+    # fixed equivalent matches only the exact term
+    assert paths(Phrase(terms=("alpha", "beta"))) == ["ab"]
+    # term-set slot: alpha followed immediately by beta OR gamma
+    # ("ab2" has bexxx at that position -> no match)
+    assert paths(
+        Phrase(terms=("alpha", TermsF(terms=("beta", "gamma"))))
+    ) == ["ab", "ag"]
+    # three-slot with middle prefix
+    assert paths(
+        Phrase(terms=("alpha", Prefix(prefix="b"), "gamma"))
+    ) == ["ab", "ab2"]
