@@ -4,3 +4,13 @@ from iresearch_spark.index.manifest import (  # noqa: F401
     read_manifest,
     write_manifest,
 )
+from iresearch_spark.index.deletes import (  # noqa: F401
+    deletion_ratio,
+    mark_deleted,
+    plan_cleanup,
+)
+from iresearch_spark.index.merge import (  # noqa: F401
+    consolidate,
+    merge_segments,
+    plan_tier,
+)

@@ -93,7 +93,11 @@ def merge_segments(
     cleanup: bool = True,
     hot_term_bytes: int = 64 << 20,
 ) -> dict:
-    """Merge the given segments into one new segment; returns merge metrics."""
+    """Merge the given segments into one new segment; returns merge metrics.
+
+    Tombstoned docs (deletes table) are PURGED: the per-segment doc-id maps
+    drop masked docs and re-number the survivors densely, exactly the
+    reference's ``doc_id_map`` remap (`merge_writer.cpp:1448-`)."""
     import glob
     import os
     import shutil
@@ -104,27 +108,53 @@ def merge_segments(
     by_id = {s["segment_id"]: s for s in man.segments}
     new_id = max(max(by_id) + 1, man.num_segments)
 
-    # base offsets: ascending old segment id (merge_writer doc-id remap)
-    bases: dict[int, int] = {}
-    acc = 0
-    for sid in seg_ids:
-        bases[sid] = acc
-        acc += by_id[sid]["docs"]
-    total_docs = acc
-
-    # broadcast per-segment dl arrays (bounded: fan-in * segment_docs_max)
+    # per-segment docmeta + tombstones -> dense live remap (doc_id_map):
+    # remap[old_id] = new_id (1-based), 0 = dropped; ascending old segment
+    # id then old doc id, like the reference's base-offset remap
     dm = (
         spark.read.parquet(f"{index_dir}/docmeta")
         .filter(F.col("segment_id").isin(list(seg_ids)))
         .select("segment_id", "doc_id", "dl")
         .toPandas()
     )
+    deleted: dict[int, np.ndarray] = {}
+    if os.path.isdir(f"{index_dir}/deletes"):
+        from iresearch_spark.index.deletes import deletes_df
+
+        dpdf = (
+            deletes_df(spark, index_dir)
+            .filter(F.col("segment_id").isin(list(seg_ids)))
+            .toPandas()
+        )
+        for sid, g in dpdf.groupby("segment_id"):
+            deleted[int(sid)] = g["doc_id"].to_numpy(np.int64)
+
     dl_maps: dict[int, np.ndarray] = {}
-    for sid, g in dm.groupby("segment_id"):
-        arr = np.zeros(int(g["doc_id"].max()) + 1, dtype=np.int64)
+    remaps: dict[int, np.ndarray] = {}
+    acc = 0
+    live_dls_all: list[np.ndarray] = []
+    for sid in seg_ids:
+        g = dm[dm["segment_id"] == sid]
+        if g.empty:
+            remaps[sid] = np.zeros(1, dtype=np.int64)
+            dl_maps[sid] = np.zeros(1, dtype=np.int64)
+            continue
+        max_id = int(g["doc_id"].max())
+        arr = np.zeros(max_id + 1, dtype=np.int64)
         arr[g["doc_id"].to_numpy()] = g["dl"].to_numpy()
-        dl_maps[int(sid)] = arr
-    bc = spark.sparkContext.broadcast((bases, dl_maps))
+        dl_maps[sid] = arr
+        old_ids = np.sort(g["doc_id"].to_numpy(np.int64))
+        dmask = np.zeros(max_id + 1, dtype=bool)
+        if sid in deleted:
+            dmask[deleted[sid]] = True
+        live = old_ids[~dmask[old_ids]]
+        remap = np.zeros(max_id + 1, dtype=np.int64)
+        remap[live] = acc + 1 + np.arange(live.size)
+        remaps[sid] = remap
+        acc += live.size
+        live_dls_all.append(arr[live])
+    total_docs = acc
+    bc = spark.sparkContext.broadcast((remaps, dl_maps))
 
     with_positions = man.with_positions
 
@@ -133,20 +163,20 @@ def merge_segments(
             return pd.DataFrame(
                 columns=[c.split()[0] for c in MERGE_SCHEMA.split(", ")]
             )
-        bases_l, dl_l = bc.value
+        remaps_l, dl_l = bc.value
         pdf = pdf.sort_values(["field", "term", "segment_id"], kind="stable")
         field = pdf["field"].iloc[0]
         counts = pdf["docs_count"].to_numpy(np.int64)
         docs, freqs = decode_postings_many(list(pdf["postings"]), counts)
         row_of = np.repeat(np.arange(len(pdf), dtype=np.int64), counts)
         seg_arr = pdf["segment_id"].to_numpy(np.int64)[row_of]
-        base_arr = np.zeros(len(docs), dtype=np.int64)
+        new_docs = np.zeros(len(docs), dtype=np.int64)
         dls = np.zeros(len(docs), dtype=np.int64)
         for sid in np.unique(seg_arr):
             m = seg_arr == sid
-            base_arr[m] = bases_l[int(sid)]
+            new_docs[m] = remaps_l[int(sid)][docs[m]]
             dls[m] = dl_l[int(sid)][docs[m]]
-        new_docs = docs + base_arr
+        keep = new_docs > 0  # purged doc entries (tombstoned) drop out
 
         # per-output-term lengths: rows are (term, segment) sorted, so terms
         # are contiguous; ordered concat replaces the reference's heap merge
@@ -155,23 +185,31 @@ def merge_segments(
         term_change[0] = True
         term_change[1:] = terms[1:] != terms[:-1]
         trow_starts = np.flatnonzero(term_change)
-        rows_per_term = np.diff(np.append(trow_starts, len(pdf)))
-        cum_counts = np.concatenate([[0], np.cumsum(counts)])
-        term_lengths = (
-            cum_counts[np.append(trow_starts[1:], len(pdf))]
-            - cum_counts[trow_starts]
-        )
+        term_of_row = np.cumsum(term_change) - 1
+        term_of_entry = term_of_row[row_of]
+        n_terms = trow_starts.size
+        term_lengths = np.bincount(
+            term_of_entry[keep], minlength=n_terms
+        ).astype(np.int64)
+        nonempty = term_lengths > 0
+
+        kept_docs = new_docs[keep]
+        kept_freqs = freqs[keep]
+        kept_dls = dls[keep]
         blobs, offs, lasts, maxf, minn = encode_postings_batch(
-            new_docs, freqs, dls, term_lengths
+            kept_docs, kept_freqs, kept_dls, term_lengths[nonempty]
         )
         out = {
-            "segment_id": np.full(term_lengths.size, new_id, dtype=np.int32),
+            "segment_id": np.full(int(nonempty.sum()), new_id, dtype=np.int32),
             "field": field,
-            "term": terms[trow_starts],
-            "docs_count": term_lengths.astype(np.int32),
+            "term": terms[trow_starts][nonempty],
+            "docs_count": term_lengths[nonempty].astype(np.int32),
             "total_tf": np.add.reduceat(
-                freqs, np.concatenate([[0], np.cumsum(term_lengths)])[:-1]
-            ).astype(np.int64),
+                kept_freqs,
+                np.concatenate([[0], np.cumsum(term_lengths[nonempty])])[:-1],
+            ).astype(np.int64)
+            if kept_freqs.size
+            else np.empty(0, np.int64),
             "postings": blobs,
             "block_offsets": offs,
             "last_docs": lasts,
@@ -181,7 +219,10 @@ def merge_segments(
         if with_positions and "positions" in pdf.columns:
             pos_concat = b"".join(pdf["positions"])
             flat_pos = decode_positions(pos_concat, freqs)
-            pblobs, poffs = encode_positions_batch(freqs, flat_pos, term_lengths)
+            pos_keep = np.repeat(keep, freqs)
+            pblobs, poffs = encode_positions_batch(
+                kept_freqs, flat_pos[pos_keep], term_lengths[nonempty]
+            )
             out["positions"] = pblobs
             out["pos_offsets"] = poffs
         else:
@@ -233,14 +274,34 @@ def merge_segments(
         f"{index_dir}/segments"
     )
 
-    # docmeta remap
-    base_map = F.create_map(
-        *[F.lit(x) for kv in bases.items() for x in kv]
+    # docmeta remap: live docs only, dense new ids (from the same remap
+    # arrays the posting kernel used; dm is already driver-side)
+    parts = []
+    for sid in seg_ids:
+        g = dm[dm["segment_id"] == sid]
+        if g.empty:
+            continue
+        old = g["doc_id"].to_numpy(np.int64)
+        new = remaps[sid][old]
+        keep = new > 0
+        parts.append(
+            pd.DataFrame(
+                {"segment_id": sid, "doc_id": old[keep], "new_doc_id": new[keep]}
+            )
+        )
+    remap_df = spark.createDataFrame(
+        pd.concat(parts) if parts else
+        pd.DataFrame(columns=["segment_id", "doc_id", "new_doc_id"]).astype(
+            {"segment_id": "int64", "doc_id": "int64", "new_doc_id": "int64"}
+        ),
+        schema="segment_id int, doc_id int, new_doc_id int",
     )
     dm_new = (
         spark.read.parquet(f"{index_dir}/docmeta")
         .filter(F.col("segment_id").isin(list(seg_ids)))
-        .withColumn("doc_id", (F.col("doc_id") + base_map[F.col("segment_id")]).cast("int"))
+        .join(F.broadcast(remap_df), ["segment_id", "doc_id"])
+        .withColumn("doc_id", F.col("new_doc_id").cast("int"))
+        .drop("new_doc_id")
         .withColumn("segment_id", F.lit(new_id).cast("int"))
     )
     dm_new.write.mode("append").partitionBy("segment_id").parquet(
@@ -264,12 +325,15 @@ def merge_segments(
         .collect()[0]
         .asDict()
     )
+    live_dl = (
+        np.concatenate(live_dls_all) if live_dls_all else np.empty(0, np.int64)
+    )
     rec = {
         "segment_id": new_id,
         "field": man.field_name,
         "docs": total_docs,
-        "docs_with_field": sum(by_id[s]["docs_with_field"] for s in seg_ids),
-        "total_term_freq": sum(by_id[s]["total_term_freq"] for s in seg_ids),
+        "docs_with_field": int((live_dl > 0).sum()),
+        "total_term_freq": int(live_dl.sum()),
         "terms": int(sstats["terms"] or 0),
         "sum_doc_freq": int(sstats["sum_doc_freq"] or 0),
         "postings_bytes": int(sstats["postings_bytes"] or 0),
@@ -307,6 +371,18 @@ def merge_segments(
             p = f"{index_dir}/checkpoints/seg-{sid:06d}.json"
             if os.path.exists(p):
                 os.remove(p)
+        # purged tombstones are dead; rewrite the deletes table without them
+        if deleted and os.path.isdir(f"{index_dir}/deletes"):
+            from iresearch_spark.index.deletes import DELETES_SCHEMA, deletes_df
+
+            remaining = deletes_df(spark, index_dir).filter(
+                ~F.col("segment_id").isin(list(seg_ids))
+            ).toPandas()
+            shutil.rmtree(f"{index_dir}/deletes", ignore_errors=True)
+            if len(remaining):
+                spark.createDataFrame(
+                    remaining, schema=DELETES_SCHEMA
+                ).write.parquet(f"{index_dir}/deletes")
     bc.unpersist()
     return {
         "new_segment_id": new_id,

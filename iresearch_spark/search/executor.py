@@ -110,11 +110,26 @@ class SearchEngine:
         )
 
     def norms_df(self) -> DataFrame:
-        return (
+        """(segment_id, doc_id, dl, deleted) — the kernel's per-doc side.
+        Tombstoned docs (deletes table, segment_writer.hpp:63-66 document
+        mask) are flagged and dropped at posting-decode time."""
+        import os
+
+        base = (
             self.spark.read.schema(DOCMETA_SCHEMA)
             .parquet(f"{self.index_dir}/docmeta")
             .select("segment_id", "doc_id", "dl")
         )
+        if os.path.isdir(f"{self.index_dir}/deletes"):
+            from iresearch_spark.index.deletes import deletes_df
+
+            dels = deletes_df(self.spark, self.index_dir).withColumn(
+                "deleted", F.lit(True)
+            )
+            return base.join(dels, ["segment_id", "doc_id"], "left").withColumn(
+                "deleted", F.coalesce(F.col("deleted"), F.lit(False))
+            )
+        return base.withColumn("deleted", F.lit(False))
 
     def docmeta_df(self) -> DataFrame:
         return self.spark.read.schema(DOCMETA_SCHEMA).parquet(
@@ -466,6 +481,12 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
         ndocs = int(doc_ids_all.max())
         dl_arr = np.zeros(ndocs + 1, dtype=np.int64)
         dl_arr[doc_ids_all] = right["dl"].to_numpy(np.int64)
+        del_arr = np.zeros(ndocs + 1, dtype=bool)
+        if "deleted" in right.columns:
+            del_arr[doc_ids_all] = right["deleted"].to_numpy(bool)
+            live_mask_rows = ~right["deleted"].to_numpy(bool)
+        else:
+            live_mask_rows = np.ones(doc_ids_all.size, dtype=bool)
 
         rows_by_term: dict[str, Any] = {}
         for row in left.itertuples(index=False):
@@ -482,9 +503,9 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                         np.empty(0, dtype=np.int64),
                     )
                 else:
-                    decode_cache[term] = decode_postings(
-                        r.postings, int(r.docs_count)
-                    )
+                    d, f_ = decode_postings(r.postings, int(r.docs_count))
+                    keep = ~del_arr[d]  # document mask applied at decode
+                    decode_cache[term] = (d[keep], f_[keep])
             return decode_cache[term]
 
         def inst_score(tid: int, docs: np.ndarray, freqs: np.ndarray) -> np.ndarray:
@@ -523,10 +544,14 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             if op == "empty":
                 return np.empty(0, np.int64), np.empty(0, dtype)
             if op == "all":
-                docs = np.sort(doc_ids_all)
+                docs = np.sort(doc_ids_all[live_mask_rows])
                 return docs, np.zeros(docs.size, dtype)
             if op == "exists":
-                docs = np.sort(doc_ids_all[right["dl"].to_numpy(np.int64) > 0])
+                docs = np.sort(
+                    doc_ids_all[
+                        (right["dl"].to_numpy(np.int64) > 0) & live_mask_rows
+                    ]
+                )
                 return docs, np.full(docs.size, dtype(node["boost"]), dtype)
             if op == "terms":
                 parts_d, parts_s = [], []
@@ -760,7 +785,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                         int(r.docs_count),
                         bids,
                     )
-                    sel = cand_mask[d]
+                    sel = cand_mask[d] & ~del_arr[d]
                     d, f_ = d[sel], f_[sel]
                     acc[d] += inst_score(tid, d, f_)
                     matched[d] = True
