@@ -500,9 +500,9 @@ WHERE round(i / (sa.n + sb.n - i)::DOUBLE, 4) >= 0.05
 SELECT doc_id,
        len(regexp_extract_all(lower(coalesce(text, '')), '{_TOK}')) AS n_tokens,
        len(list_distinct(regexp_extract_all(lower(coalesce(text, '')), '{_TOK}'))) AS n_unique,
-       coalesce(list_aggregate(
+       CAST(coalesce(list_aggregate(
          list_transform(regexp_extract_all(lower(coalesce(text, '')), '{_TOK}'),
-                        x -> length(x)), 'sum'), 0) AS token_chars
+                        x -> length(x)), 'sum'), 0) AS BIGINT) AS token_chars
 FROM documents
 """
     o["text_fingerprint"] = """

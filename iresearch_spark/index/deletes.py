@@ -45,7 +45,7 @@ def mark_deleted(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
     dm = spark.read.schema(DOCMETA_SCHEMA).parquet(f"{index_dir}/docmeta")
     resolved = dm.join(
         keys.select("repo", "path", "commit"), ["repo", "path", "commit"]
-    ).select("segment_id", "doc_id")
+    ).select("segment_id", "doc_id").dropDuplicates(["segment_id", "doc_id"])
     if os.path.isdir(f"{index_dir}/deletes"):
         resolved = resolved.exceptAll(deletes_df(spark, index_dir))
     resolved = resolved.cache()

@@ -104,7 +104,9 @@ def merge_segments(
 
     man = read_manifest(index_dir)
     assert man is not None
-    seg_ids = sorted(int(s) for s in seg_ids)
+    # public API: normalize — remap base offsets accumulate in iteration
+    # order, which MUST be ascending segment_id to match merge_bucket's sort
+    seg_ids = sorted({int(s) for s in seg_ids})
     by_id = {s["segment_id"]: s for s in man.segments}
     new_id = max(max(by_id) + 1, man.num_segments)
 

@@ -189,6 +189,11 @@ def minhash_lsh_pairs(
                 }
             )
 
+    # signatures are consumed three times (bucket explode + both sides of
+    # the verify join): persist for the run, cut lineage on the (much
+    # smaller) pair result, then release the signature blocks — repeated
+    # calls (bench loops, streaming cadence) must not accumulate pinned
+    # storage. At real scale this persist becomes a parquet staging write.
     sig_df = (
         docs.select("doc_id", "text")
         .mapInPandas(
@@ -227,9 +232,14 @@ def minhash_lsh_pairs(
         )
     )
     est = agree / F.lit(float(num_hashes))
-    return cand.select(
+    result = cand.select(
         "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
     ).filter(est >= threshold)
+    # materialize the pair set (bounded by LSH collisions, tiny vs corpus),
+    # severing the result's lineage from sig_df so the cache can be freed now
+    result = result.localCheckpoint(eager=True)
+    sig_df.unpersist(blocking=False)
+    return result
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:

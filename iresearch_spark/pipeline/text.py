@@ -36,9 +36,9 @@ def token_stats(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_unique"),
-        F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)).alias(
-            "token_chars"
-        ),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("token_chars"),
     )
 
 

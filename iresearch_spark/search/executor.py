@@ -445,8 +445,12 @@ class SearchEngine:
         dm = self.docmeta_df().select(
             "segment_id", "doc_id", "repo", "path", "commit", "lang"
         )
+        # broadcast only the bounded top-k side; an all-matches result
+        # (k=None, e.g. an exists/whole-corpus query) is unbounded — let AQE
+        # pick the join strategy instead of forcing a full-result broadcast
+        right = F.broadcast(global_topk) if k is not None else global_topk
         return (
-            dm.join(F.broadcast(global_topk), ["segment_id", "doc_id"])
+            dm.join(right, ["segment_id", "doc_id"])
             .select("repo", "path", "commit", "lang", "score", "segment_id", "doc_id")
             .orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id"))
         )
@@ -493,20 +497,61 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             rows_by_term[row.term] = row
 
         decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        raw_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        pos_cache: dict[str, np.ndarray] = {}
 
-        def full_postings(term: str):
-            if term not in decode_cache:
+        def raw_postings(term: str):
+            """Undeleted-unfiltered decode — the positions blob is aligned to
+            THESE freqs; the document mask is applied downstream."""
+            if term not in raw_cache:
                 r = rows_by_term.get(term)
                 if r is None:
-                    decode_cache[term] = (
+                    raw_cache[term] = (
                         np.empty(0, dtype=np.int64),
                         np.empty(0, dtype=np.int64),
                     )
                 else:
-                    d, f_ = decode_postings(r.postings, int(r.docs_count))
-                    keep = ~del_arr[d]  # document mask applied at decode
-                    decode_cache[term] = (d[keep], f_[keep])
+                    raw_cache[term] = decode_postings(
+                        r.postings, int(r.docs_count)
+                    )
+            return raw_cache[term]
+
+        def full_postings(term: str):
+            if term not in decode_cache:
+                d, f_ = raw_postings(term)
+                keep = ~del_arr[d]  # document mask applied at decode
+                decode_cache[term] = (d[keep], f_[keep])
             return decode_cache[term]
+
+        def flat_positions(term: str) -> np.ndarray:
+            """Full positions decode, aligned to raw (pre-mask) freqs."""
+            if term not in pos_cache:
+                r = rows_by_term[term]
+                _, f_raw = raw_postings(term)
+                pos_cache[term] = decode_positions(r.positions, f_raw)
+            return pos_cache[term]
+
+        def positions_for(term: str, cand: np.ndarray):
+            """(doc_rep, pos) arrays of ``term``'s occurrences restricted to
+            the sorted candidate docs — one vectorized gather, no per-doc
+            loop."""
+            d_raw, f_raw = raw_postings(term)
+            if d_raw.size == 0 or cand.size == 0:
+                e = np.empty(0, dtype=np.int64)
+                return e, e
+            flat = flat_positions(term)
+            starts = np.concatenate([[0], np.cumsum(f_raw)])
+            sel = np.flatnonzero(np.isin(d_raw, cand, assume_unique=True))
+            lengths = f_raw[sel]
+            tot = int(lengths.sum())
+            if tot == 0:
+                e = np.empty(0, dtype=np.int64)
+                return e, e
+            out_starts = np.concatenate([[0], np.cumsum(lengths)])[:-1]
+            idx = np.arange(tot, dtype=np.int64) + np.repeat(
+                starts[sel] - out_starts, lengths
+            )
+            return np.repeat(d_raw[sel], lengths), flat[idx]
 
         def inst_score(tid: int, docs: np.ndarray, freqs: np.ndarray) -> np.ndarray:
             inst = instances[tid]
@@ -621,48 +666,36 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                 cand = np.intersect1d(cand, d, assume_unique=True)
             if cand.size == 0:
                 return cand, np.empty(0, dtype)
-            # per slot, positions per candidate doc (union over member terms)
-            per_doc_pos: list[dict[int, np.ndarray]] = []
-            for terms_g in slot_members:
-                slot_map: dict[int, np.ndarray] = {}
+            # flat vectorized verify (no per-doc loop): slot i contributes
+            # the key set {(doc, pos - i)} (union over member terms); a
+            # phrase occurrence at (doc, p) exists iff the key (doc, p)
+            # appears in ALL n_slots key sets — count keys across slots and
+            # keep those seen n_slots times. (doc, pos) packs into one int64:
+            # doc < 2^31 (int32 ids) and pos < 2^31 (positions are token
+            # ordinals, bounded by dl).
+            n_slots = len(slot_members)
+            key_parts: list[np.ndarray] = []
+            for i, terms_g in enumerate(slot_members):
+                shift = np.int64(i if gapped else 0)
+                parts = []
                 for t in terms_g:
-                    d, f_ = full_postings(t)
-                    r = rows_by_term[t]
-                    flat = decode_positions(r.positions, f_)
-                    starts = np.concatenate([[0], np.cumsum(f_)])
-                    both = np.intersect1d(d, cand, assume_unique=True)
-                    sel = np.searchsorted(d, both)
-                    for doc, j in zip(both, sel):
-                        pl = flat[starts[j]: starts[j + 1]]
-                        key = int(doc)
-                        if key in slot_map:
-                            slot_map[key] = np.union1d(slot_map[key], pl)
-                        else:
-                            slot_map[key] = pl
-                per_doc_pos.append(slot_map)
-            phrase_freqs = np.zeros(cand.size, dtype=np.int64)
-            for i, doc in enumerate(cand):
-                m = per_doc_pos[0].get(int(doc))
-                if m is None:
-                    continue
-                ok = True
-                for gap, slot_map in enumerate(per_doc_pos[1:], start=1):
-                    pl = slot_map.get(int(doc))
-                    if pl is None:
-                        ok = False
-                        break
-                    shift = gap if gapped else 0
-                    m = np.intersect1d(m, pl - shift, assume_unique=True)
-                    if m.size == 0:
-                        ok = False
-                        break
-                if ok:
-                    phrase_freqs[i] = m.size
-            keep = phrase_freqs > 0
-            docs = cand[keep]
+                    d_rep, p = positions_for(t, cand)
+                    adj = p - shift
+                    ok = adj >= 0
+                    parts.append((d_rep[ok] << np.int64(31)) | adj[ok])
+                keys = np.concatenate(parts) if parts else np.empty(0, np.int64)
+                # dedupe within the slot: member-term unions may overlap
+                key_parts.append(np.unique(keys))
+            all_keys = np.concatenate(key_parts)
+            uniq_keys, counts = np.unique(all_keys, return_counts=True)
+            matched = uniq_keys[counts == n_slots]
+            if matched.size == 0:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            docs, phrase_freqs = np.unique(matched >> np.int64(31),
+                                           return_counts=True)
             c0 = dtype(node["c0"])
             scores = scorer.score(
-                phrase_freqs[keep], dl_arr[docs], c0, norm_const, norm_length, dtype
+                phrase_freqs, dl_arr[docs], c0, norm_const, norm_length, dtype
             )
             return docs, scores
 
@@ -692,53 +725,61 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             cand = uniq_docs[ub >= min_d]
             if cand.size == 0:
                 return cand, np.empty(0, dtype)
-            # positions per (gram, candidate doc)
-            pos_by_term: dict[str, dict[int, np.ndarray]] = {}
-            for t in present:
-                d, f_ = postings[t]
-                r = rows_by_term[t]
-                flat = decode_positions(r.positions, f_)
-                starts = np.concatenate([[0], np.cumsum(f_)])
-                both = np.intersect1d(d, cand, assume_unique=True)
-                sel = np.searchsorted(d, both)
-                pos_by_term[t] = {
-                    int(doc): flat[starts[j]: starts[j + 1]]
-                    for doc, j in zip(both, sel)
-                }
+            # flat event stream over ALL candidate docs at once: one event
+            # per (doc, occurrence position, query-gram index). The per-doc
+            # LCS DP is batched by processing events in within-doc RANK
+            # order — rank r of every doc updates one dp row per doc in a
+            # single vectorized step, so the Python loop is max-events-per-
+            # doc iterations (not n_cand * events).
             gram_idx = {t: [i for i, q in enumerate(terms) if q == t]
                         for t in uniq_terms}
-            out_docs, out_scores = [], []
-            for doc in cand:
-                evs_pos, evs_gram = [], []
-                for t in present:
-                    pl = pos_by_term[t].get(int(doc))
-                    if pl is None:
-                        continue
-                    for gi in gram_idx[t]:
-                        evs_pos.append(pl)
-                        evs_gram.append(np.full(pl.size, gi, dtype=np.int64))
-                if not evs_pos:
-                    continue
-                pos_all = np.concatenate(evs_pos)
-                gram_all = np.concatenate(evs_gram)
-                # same-pos events sorted by DESCENDING gram index so one
-                # token occurrence can never serve two query slots
-                order_ = np.lexsort((-gram_all, pos_all))
-                seq = gram_all[order_]
-                # LCS(seq, [0..k-1]) — O(len(seq) * k) DP
-                dp = np.zeros(k + 1, dtype=np.int64)
-                for s in seq:
-                    prev = dp[s]
-                    better = prev + 1
-                    if better > dp[s + 1]:
-                        dp[s + 1:] = np.maximum(dp[s + 1:], better)
-                d_val = int(dp[k])
-                if d_val >= min_d and d_val / k >= thr - 1e-12:
-                    out_docs.append(int(doc))
-                    out_scores.append(node["boost"] * d_val / k)
+            ev_doc_parts, ev_pos_parts, ev_gram_parts = [], [], []
+            for t in present:
+                d_rep, p = positions_for(t, cand)
+                for gi in gram_idx[t]:
+                    ev_doc_parts.append(d_rep)
+                    ev_pos_parts.append(p)
+                    ev_gram_parts.append(
+                        np.full(d_rep.size, gi, dtype=np.int64)
+                    )
+            if not ev_doc_parts:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            ev_doc = np.concatenate(ev_doc_parts)
+            ev_pos = np.concatenate(ev_pos_parts)
+            ev_gram = np.concatenate(ev_gram_parts)
+            di = np.searchsorted(cand, ev_doc)  # compact doc index
+            # same-pos events sorted by DESCENDING gram index so one token
+            # occurrence can never serve two query slots; doc-major
+            order_ = np.lexsort((-ev_gram, ev_pos, di))
+            di_s, seq = di[order_], ev_gram[order_]
+            run_lengths = np.bincount(di_s, minlength=cand.size)
+            run_starts = np.concatenate([[0], np.cumsum(run_lengths)])[:-1]
+            rank = np.arange(di_s.size, dtype=np.int64) - np.repeat(
+                run_starts, run_lengths
+            )
+            # regroup by rank level: events of rank r are one contiguous slice
+            lvl_order = np.lexsort((di_s, rank))
+            di_l, seq_l = di_s[lvl_order], seq[lvl_order]
+            max_rank = int(run_lengths.max())
+            bounds = np.searchsorted(rank[lvl_order],
+                                     np.arange(max_rank + 1, dtype=np.int64))
+            dp = np.zeros((cand.size, k + 1), dtype=np.int64)
+            cols = np.arange(k + 1, dtype=np.int64)[None, :]
+            for lvl in range(max_rank):
+                lo, hi = bounds[lvl], bounds[lvl + 1]
+                dd, ss = di_l[lo:hi], seq_l[lo:hi]
+                sub = dp[dd]  # dd is unique within a rank level
+                prev = sub[np.arange(dd.size), ss] + 1
+                dp[dd] = np.where(
+                    cols > ss[:, None],
+                    np.maximum(sub, prev[:, None]),
+                    sub,
+                )
+            d_vals = dp[:, k]
+            sel = (d_vals >= min_d) & (d_vals / k >= thr - 1e-12)
             return (
-                np.asarray(out_docs, dtype=np.int64),
-                np.asarray(out_scores, dtype=dtype),
+                cand[sel].astype(np.int64),
+                (node["boost"] * d_vals[sel] / k).astype(dtype),
             )
 
         # -------------------------------------------------- WAND path
