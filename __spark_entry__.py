@@ -66,8 +66,31 @@ def _engine(spark: SparkSession, sf_dir: str):
     return SearchEngine(spark, _INDEX_CACHE[key])
 
 
-def _ft(spark: SparkSession, sf_dir: str, filt, k=None) -> DataFrame:
-    eng = _engine(spark, sf_dir)
+def _engine_mf(spark: SparkSession, sf_dir: str):
+    """Two-field index (content + lang): the reference's N-fields-per-doc
+    model (`core/index/segment_writer.hpp:91-119`)."""
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.search import SearchEngine
+
+    key = os.path.abspath(sf_dir) + "#mf"
+    if key not in _INDEX_CACHE:
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "iresearch_idx_mf_" + os.path.abspath(sf_dir).replace("/", "_"),
+        )
+        build_index(
+            spark,
+            _corpus_from_documents(_docs(spark, sf_dir)),
+            idx,
+            num_segments=4,
+            fields=[("content", "code"), ("lang", "code")],
+        )
+        _INDEX_CACHE[key] = idx
+    return SearchEngine(spark, _INDEX_CACHE[key])
+
+
+def _ft(spark: SparkSession, sf_dir: str, filt, k=None, mf=False) -> DataFrame:
+    eng = _engine_mf(spark, sf_dir) if mf else _engine(spark, sf_dir)
     res = eng.search(filt, k=k, dtype="float64")
     return res.select(
         F.col("path").cast("int").alias("doc_id"),
@@ -188,7 +211,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, TermRange(min_term="scan", max_term="sort")
     )
     q["ft_fuzzy"] = lambda s, d: _ft(s, d, Fuzzy(term="spbrk", max_distance=2))
+    # Damerau: 'sprak' is one transposition from 'spark' (levenshtein 2)
+    q["ft_fuzzy_transpose"] = lambda s, d: _ft(
+        s, d, Fuzzy(term="sprak", max_distance=1, with_transpositions=True)
+    )
     q["ft_phrase"] = lambda s, d: _ft(s, d, Phrase(terms=("fast", "key")))
+    # same_position with a repeated term: pf == tf, idf counted per slot
+    # (by_same_position, core/search/same_position_filter.cpp)
+    from iresearch_spark.search import SamePosition
+
+    q["ft_same_position"] = lambda s, d: _ft(
+        s, d, SamePosition(terms=("window", "window"))
+    )
+    # multi-field: BM25 over content + lang fields, scores summed with
+    # per-field stats (avgdl of lang == 1)
+    q["ft_field_lang"] = lambda s, d: _ft(
+        s,
+        d,
+        And(children=(TermF(term="window"),
+                      TermF(field_name="lang", term="en"))),
+        mf=True,
+    )
     q["ft_exists"] = lambda s, d: _ft(s, d, ExistsF())
     # LCS-based ngram similarity: no tractable SQL twin -> rows-only check,
     # semantics pytest-verified (tests/test_ngram_similarity.py)
@@ -390,6 +433,63 @@ def oracle_sql() -> dict[str, str]:
     o["ft_wildcard"] = _bm25_union_sql("term LIKE 's%w'")
     o["ft_range"] = _bm25_union_sql("term >= 'scan' AND term <= 'sort'")
     o["ft_fuzzy"] = _bm25_union_sql("levenshtein(term, 'spbrk') <= 2")
+    o["ft_fuzzy_transpose"] = _bm25_union_sql(
+        "damerau_levenshtein(term, 'sprak') <= 1"
+    )
+    o["ft_same_position"] = f"""
+WITH pos AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM pos GROUP BY doc_id),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM dl
+),
+df AS (
+  SELECT count(DISTINCT doc_id) AS df FROM pos WHERE term = 'window'
+),
+idf AS (
+  SELECT 2 * ln(1.0 + ((s.n - df.df) + 0.5) / (df.df + 0.5)) AS idf_sum
+  FROM df CROSS JOIN stats s
+),
+m AS (
+  SELECT doc_id, count(*) AS pf FROM pos WHERE term = 'window'
+  GROUP BY doc_id
+)
+SELECT m.doc_id,
+       round(
+         ((1.2 + 1.0) * i.idf_sum)
+         - ((1.2 + 1.0) * i.idf_sum)
+           * ((1.2 - 1.2 * 0.75) + (1.2 * 0.75 / s.avgdl) * dl.dl)
+           / (((1.2 - 1.2 * 0.75) + (1.2 * 0.75 / s.avgdl) * dl.dl) + m.pf),
+         4
+       ) AS score
+FROM m
+JOIN dl USING (doc_id)
+CROSS JOIN stats s
+CROSS JOIN idf i
+"""
+    o["ft_field_lang"] = f"""{_BM25_PRELUDE},
+lstats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ldf AS (SELECT count(*)::DOUBLE AS df FROM documents WHERE lang = 'en'),
+ls AS (
+  SELECT d.doc_id,
+         ((1.2 + 1.0) * ln(1.0 + ((s.n - f.df) + 0.5) / (f.df + 0.5))) AS lc0,
+         ((1.2 - 1.2 * 0.75) + (1.2 * 0.75 / 1.0) * 1) AS lc1
+  FROM documents d CROSS JOIN lstats s CROSS JOIN ldf f
+  WHERE d.lang = 'en'
+)
+SELECT sc.doc_id,
+       round(sum(sc.c0 - sc.c0 * sc.c1 / (sc.c1 + sc.tf))
+             + any_value(ls.lc0 - ls.lc0 * ls.lc1 / (ls.lc1 + 1.0)),
+         4) AS score
+FROM scored sc
+JOIN ls USING (doc_id)
+WHERE sc.term = 'window'
+GROUP BY sc.doc_id
+"""
     o["ft_phrase"] = f"""
 WITH pos AS (
   SELECT doc_id,

@@ -86,20 +86,20 @@ JVM_TOKENIZERS = {
 }
 JVM_TOKENIZERS["segmentation"] = JVM_TOKENIZERS["code"]
 
-def make_dl_expr(analyzer: str):
+def make_dl_expr(analyzer: str, column: str = "content"):
     """Per-doc token count (the Norm2 ``dl``) under the BUILD analyzer —
     must match what the invert kernel counts, or BM25 norms are wrong.
     JVM expression when a Catalyst twin exists, else an Arrow UDF running
     the same Python analyzer."""
     if analyzer in JVM_TOKENIZERS:
-        return F.size(JVM_TOKENIZERS[analyzer](F.col("content")))
+        return F.size(JVM_TOKENIZERS[analyzer](F.col(column)))
     fn = get_analyzer(analyzer)
 
     @F.pandas_udf("int")
     def dl_udf(s: pd.Series) -> pd.Series:
         return fn(s.fillna("")).str.len().astype("int32")
 
-    return dl_udf(F.coalesce(F.col("content"), F.lit("")))
+    return dl_udf(F.coalesce(F.col(column), F.lit("")))
 
 
 HASH_SEGMENTS_SCHEMA = (
@@ -191,11 +191,15 @@ def make_seg_builder(
     jvm_tokenize: bool | None = None,
     verify_dictionary: bool = True,
     out_partitions: int | None = None,
+    column: str | None = None,
 ):
     """Returns seg_builder(sub) -> segments DataFrame (SEGMENTS_SCHEMA).
 
-    Picks the JVM-tokenized integer path when the analyzer has a Catalyst
-    twin (default), else the Python-tokenizer grouped kernel."""
+    ``column`` is the source column to analyze (defaults to the field name —
+    index field names mirror source columns). Picks the JVM-tokenized integer
+    path when the analyzer has a Catalyst twin (default), else the
+    Python-tokenizer grouped kernel."""
+    column = column or field
     use_jvm = (
         analyzer in JVM_TOKENIZERS if jvm_tokenize is None else jvm_tokenize
     )
@@ -204,7 +208,9 @@ def make_seg_builder(
 
         def build_py(sub: DataFrame) -> DataFrame:
             return (
-                sub.select("segment_id", "doc_id", "content")
+                sub.select(
+                    "segment_id", "doc_id", F.col(column).alias("content")
+                )
                 .groupBy("segment_id")
                 .applyInPandas(invert, schema=SEGMENTS_SCHEMA)
             )
@@ -219,7 +225,7 @@ def make_seg_builder(
         # the regexp expression inline next to explode/transform makes
         # Catalyst re-evaluate it per produced row; measured 10x slowdown)
         arr = sub.select(
-            "segment_id", "doc_id", toks_expr(F.col("content")).alias("toks")
+            "segment_id", "doc_id", toks_expr(F.col(column)).alias("toks")
         )
         # kernel feed: per-doc hash arrays, fixed-width ints end to end —
         # no Python string objects anywhere in the hot path
@@ -360,6 +366,12 @@ def _invert_kernel(analyzer_name: str, field: str, with_positions: bool):
     return invert
 
 
+def docmeta_schema(extra_fields: Iterable[str] = ()) -> str:
+    """DOCMETA_SCHEMA plus per-secondary-field norm columns ``dl_<name>``."""
+    extras = "".join(f", dl_{name} int" for name in extra_fields)
+    return DOCMETA_SCHEMA + extras
+
+
 def write_segment_wave(
     spark: SparkSession,
     docs: DataFrame,
@@ -369,37 +381,58 @@ def write_segment_wave(
     field: str,
     lineage: dict,
     dl_expr=None,
+    extra_fields: list[tuple[str, object, object]] | None = None,
 ) -> dict[int, dict]:
     """Write docmeta + segment rows for the given pending segment ids, then
     collect per-segment stats and record checkpoints. ``docs`` must already
-    carry (segment_id, doc_id). Shared by batch waves and streaming batches."""
+    carry (segment_id, doc_id). Shared by batch waves and streaming batches.
+
+    ``extra_fields``: [(name, seg_builder, dl_expr)] for secondary indexed
+    fields (the reference indexes N fields per doc,
+    `core/index/segment_writer.hpp:91-119`); their norms live in docmeta
+    columns ``dl_<name>`` and their term rows carry ``field = name``."""
+    extra_fields = extra_fields or []
     sub = docs.filter(F.col("segment_id").isin(pending))
 
-    docmeta = sub.select(
-        "segment_id",
-        "doc_id",
-        "repo",
-        "path",
-        "commit",
-        "lang",
+    docmeta_cols = [
+        F.col("segment_id"),
+        F.col("doc_id"),
+        F.col("repo"),
+        F.col("path"),
+        F.col("commit"),
+        F.col("lang"),
         F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias(
             "content_sha256"
         ),
         (dl_expr if dl_expr is not None else make_dl_expr("code")).alias("dl"),
-    )
+    ]
+    for name, _, extra_dl in extra_fields:
+        docmeta_cols.append(extra_dl.alias(f"dl_{name}"))
+    docmeta = sub.select(*docmeta_cols)
     docmeta.write.mode("append").partitionBy("segment_id").parquet(
         f"{index_dir}/docmeta"
     )
 
     seg_df = seg_builder(sub)
+    for _, extra_builder, _ in extra_fields:
+        seg_df = seg_df.unionByName(extra_builder(sub))
     seg_df.write.mode("append").partitionBy("segment_id").parquet(
         f"{index_dir}/segments"
     )
 
     # per-segment stats: one tiny driver-side collect per wave (explicit
     # schemas: an all-empty wave writes no files, inference would fail)
+    extra_names = [name for name, _, _ in extra_fields]
+    dm_schema = docmeta_schema(extra_names)
+    field_aggs = []
+    for name in extra_names:
+        c = F.col(f"dl_{name}")
+        field_aggs.append(
+            F.sum(F.when(c > 0, 1).otherwise(0)).alias(f"dwf_{name}")
+        )
+        field_aggs.append(F.sum(c).alias(f"ttf_{name}"))
     dstats = (
-        spark.read.schema(DOCMETA_SCHEMA).parquet(f"{index_dir}/docmeta")
+        spark.read.schema(dm_schema).parquet(f"{index_dir}/docmeta")
         .filter(F.col("segment_id").isin(pending))
         .groupBy("segment_id")
         .agg(
@@ -408,6 +441,7 @@ def write_segment_wave(
                 "docs_with_field"
             ),
             F.sum("dl").alias("total_term_freq"),
+            *field_aggs,
         )
     )
     sstats = (
@@ -446,6 +480,14 @@ def write_segment_wave(
             "content_hash": int(r.get("content_hash") or 0),
             "lineage": dict(lineage),
         }
+        if extra_names:
+            rec["fields"] = {
+                name: {
+                    "docs_with_field": int(r.get(f"dwf_{name}") or 0),
+                    "total_term_freq": int(r.get(f"ttf_{name}") or 0),
+                }
+                for name in extra_names
+            }
         write_checkpoint(index_dir, rec)
         out[seg] = rec
     return out
@@ -471,9 +513,13 @@ def build_index(
     resume: bool = False,
     jvm_tokenize: bool | None = None,
     verify_dictionary: bool = True,
+    fields: list[tuple[str, str]] | None = None,
 ) -> dict:
     """Build (or resume) the index; returns build metrics.
 
+    ``fields`` = [(source_column, analyzer), ...] indexes several fields per
+    doc (title+body+path in the reference, `segment_writer.hpp:91-119`); the
+    first entry is the primary field and overrides ``field``/``analyzer``.
     ``fail_after_waves`` injects a driver-side failure after N committed waves
     (for the resume test, FIXTURES.md F6).
     """
@@ -503,12 +549,26 @@ def build_index(
             for d in glob.glob(f"{base}/segment_id=*"):
                 if int(d.rsplit("=", 1)[1]) not in done:
                     shutil.rmtree(d)
+    if fields is None:
+        fields = [(field, analyzer)]
+    field, analyzer = fields[0]
     plan = _plan_waves(num_segments, waves)
     seg_builder = make_seg_builder(
         spark, analyzer, field, with_positions, jvm_tokenize,
         verify_dictionary, out_partitions=num_segments,
     )
-    dl_expr = make_dl_expr(analyzer)
+    dl_expr = make_dl_expr(analyzer, field)
+    extra_fields = [
+        (
+            name,
+            make_seg_builder(
+                spark, az, name, with_positions, jvm_tokenize,
+                verify_dictionary, out_partitions=num_segments,
+            ),
+            make_dl_expr(az, name),
+        )
+        for name, az in fields[1:]
+    ]
 
     seg_records: dict[int, dict] = dict(read_checkpoints(index_dir)) if resume else {}
     committed_waves = 0
@@ -521,6 +581,7 @@ def build_index(
                 spark, docs, index_dir, pending, seg_builder, field,
                 lineage={"wave": wave_idx, "generation": 0},
                 dl_expr=dl_expr,
+                extra_fields=extra_fields,
             )
             seg_records.update(recs)
             done.update(recs)
@@ -535,6 +596,7 @@ def build_index(
                 analyzer=analyzer,
                 with_positions=with_positions,
                 segments=sorted(seg_records.values(), key=lambda s: s["segment_id"]),
+                fields=[[n, a] for n, a in fields] if len(fields) > 1 else None,
             ),
         )
         committed_waves += 1

@@ -77,6 +77,7 @@ def mark_deleted(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
             analyzer=man.analyzer,
             with_positions=man.with_positions,
             segments=segs,
+            fields=man.fields,
         ),
     )
     return n_new

@@ -24,10 +24,18 @@ from dataclasses import dataclass, field
 class Manifest:
     format_version: int
     num_segments: int
-    field_name: str
-    analyzer: str
+    field_name: str  # primary field (fields[0])
+    analyzer: str  # primary field's analyzer
     with_positions: bool
     segments: list[dict] = field(default_factory=list)
+    # all indexed fields as [name, analyzer] pairs (reference indexes N
+    # fields per doc, segment_writer.hpp:91-119); None == legacy single-field
+    fields: list[list[str]] | None = None
+
+    def field_specs(self) -> list[tuple[str, str]]:
+        if self.fields:
+            return [(f[0], f[1]) for f in self.fields]
+        return [(self.field_name, self.analyzer)]
 
     def to_json(self) -> str:
         payload = {
@@ -38,6 +46,8 @@ class Manifest:
             "with_positions": self.with_positions,
             "segments": sorted(self.segments, key=lambda s: s["segment_id"]),
         }
+        if self.fields is not None:
+            payload["fields"] = self.fields
         return json.dumps(payload, sort_keys=True, separators=(",", ":")) + "\n"
 
 
@@ -68,6 +78,7 @@ def read_manifest(index_dir: str) -> Manifest | None:
         analyzer=d["analyzer"],
         with_positions=d["with_positions"],
         segments=d["segments"],
+        fields=d.get("fields"),
     )
 
 

@@ -110,15 +110,12 @@ def merge_segments(
     by_id = {s["segment_id"]: s for s in man.segments}
     new_id = max(max(by_id) + 1, man.num_segments)
 
-    # per-segment docmeta + tombstones -> dense live remap (doc_id_map):
-    # remap[old_id] = new_id (1-based), 0 = dropped; ascending old segment
-    # id then old doc id, like the reference's base-offset remap
-    dm = (
-        spark.read.parquet(f"{index_dir}/docmeta")
-        .filter(F.col("segment_id").isin(list(seg_ids)))
-        .select("segment_id", "doc_id", "dl")
-        .toPandas()
-    )
+    # DRIVER STATE IS O(tombstones + K), never O(docs): doc ids are dense
+    # 1..docs per segment (build/merge invariant), so the reference's
+    # doc_id_map (`merge_writer.cpp:1448-`) degenerates to per-segment BASE
+    # OFFSETS; with deletes, the dense renumber is
+    # ``new = base + old - #(deleted <= old)`` computed from the (small)
+    # sorted tombstone list — no docmeta collect.
     deleted: dict[int, np.ndarray] = {}
     if os.path.isdir(f"{index_dir}/deletes"):
         from iresearch_spark.index.deletes import deletes_df
@@ -129,34 +126,16 @@ def merge_segments(
             .toPandas()
         )
         for sid, g in dpdf.groupby("segment_id"):
-            deleted[int(sid)] = g["doc_id"].to_numpy(np.int64)
+            deleted[int(sid)] = np.sort(g["doc_id"].to_numpy(np.int64))
 
-    dl_maps: dict[int, np.ndarray] = {}
-    remaps: dict[int, np.ndarray] = {}
+    bases: dict[int, int] = {}
     acc = 0
-    live_dls_all: list[np.ndarray] = []
     for sid in seg_ids:
-        g = dm[dm["segment_id"] == sid]
-        if g.empty:
-            remaps[sid] = np.zeros(1, dtype=np.int64)
-            dl_maps[sid] = np.zeros(1, dtype=np.int64)
-            continue
-        max_id = int(g["doc_id"].max())
-        arr = np.zeros(max_id + 1, dtype=np.int64)
-        arr[g["doc_id"].to_numpy()] = g["dl"].to_numpy()
-        dl_maps[sid] = arr
-        old_ids = np.sort(g["doc_id"].to_numpy(np.int64))
-        dmask = np.zeros(max_id + 1, dtype=bool)
-        if sid in deleted:
-            dmask[deleted[sid]] = True
-        live = old_ids[~dmask[old_ids]]
-        remap = np.zeros(max_id + 1, dtype=np.int64)
-        remap[live] = acc + 1 + np.arange(live.size)
-        remaps[sid] = remap
-        acc += live.size
-        live_dls_all.append(arr[live])
+        bases[sid] = acc
+        n_docs_seg = int(by_id[sid]["docs"])
+        acc += n_docs_seg - int(deleted.get(sid, np.empty(0)).size)
     total_docs = acc
-    bc = spark.sparkContext.broadcast((remaps, dl_maps))
+    bc = spark.sparkContext.broadcast((bases, deleted))
 
     with_positions = man.with_positions
 
@@ -165,27 +144,56 @@ def merge_segments(
             return pd.DataFrame(
                 columns=[c.split()[0] for c in MERGE_SCHEMA.split(", ")]
             )
-        remaps_l, dl_l = bc.value
+        bases_l, deleted_l = bc.value
         pdf = pdf.sort_values(["field", "term", "segment_id"], kind="stable")
-        field = pdf["field"].iloc[0]
+        fields_arr = pdf["field"].to_numpy(dtype=object)
         counts = pdf["docs_count"].to_numpy(np.int64)
         docs, freqs = decode_postings_many(list(pdf["postings"]), counts)
         row_of = np.repeat(np.arange(len(pdf), dtype=np.int64), counts)
         seg_arr = pdf["segment_id"].to_numpy(np.int64)[row_of]
         new_docs = np.zeros(len(docs), dtype=np.int64)
-        dls = np.zeros(len(docs), dtype=np.int64)
         for sid in np.unique(seg_arr):
             m = seg_arr == sid
-            new_docs[m] = remaps_l[int(sid)][docs[m]]
-            dls[m] = dl_l[int(sid)][docs[m]]
-        keep = new_docs > 0  # purged doc entries (tombstoned) drop out
+            d = docs[m]
+            base = bases_l[int(sid)]
+            dels = deleted_l.get(int(sid))
+            if dels is None or dels.size == 0:
+                new_docs[m] = base + d
+            else:
+                pos = np.searchsorted(dels, d)
+                member = (pos < dels.size) & (dels[np.minimum(pos, dels.size - 1)] == d)
+                nd = base + d - np.searchsorted(dels, d, side="right")
+                nd[member] = 0  # purged doc entries (tombstoned) drop out
+                new_docs[m] = nd
+        keep = new_docs > 0
+        # conservative per-entry norm carried from the INPUT block's
+        # min_norm: the WAND bound only needs min_norm <= every true dl in
+        # the new block (smaller norm -> larger, still-safe upper bound), so
+        # merge never touches per-doc norms — no O(docs) dl broadcast
+        mn_rows = [np.asarray(x, dtype=np.int64) for x in pdf["min_norms"]]
+        mn_all = (
+            np.concatenate(mn_rows) if mn_rows else np.empty(0, np.int64)
+        )
+        blocks_per_row = (counts + 127) // 128
+        block_row_offsets = np.concatenate(
+            [[0], np.cumsum(blocks_per_row)]
+        )[:-1]
+        row_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        rank_in_row = np.arange(len(docs), dtype=np.int64) - np.repeat(
+            row_starts, counts
+        )
+        dls = mn_all[block_row_offsets[row_of] + rank_in_row // 128]
 
         # per-output-term lengths: rows are (term, segment) sorted, so terms
         # are contiguous; ordered concat replaces the reference's heap merge
         terms = pdf["term"].to_numpy(dtype=object)
         term_change = np.empty(len(pdf), dtype=bool)
         term_change[0] = True
-        term_change[1:] = terms[1:] != terms[:-1]
+        # a bucket can hold rows of several (field, term) pairs — hash
+        # collisions across fields land in the same bucket
+        term_change[1:] = (terms[1:] != terms[:-1]) | (
+            fields_arr[1:] != fields_arr[:-1]
+        )
         trow_starts = np.flatnonzero(term_change)
         term_of_row = np.cumsum(term_change) - 1
         term_of_entry = term_of_row[row_of]
@@ -203,7 +211,7 @@ def merge_segments(
         )
         out = {
             "segment_id": np.full(int(nonempty.sum()), new_id, dtype=np.int32),
-            "field": field,
+            "field": fields_arr[trow_starts][nonempty],
             "term": terms[trow_starts][nonempty],
             "docs_count": term_lengths[nonempty].astype(np.int32),
             "total_tf": np.add.reduceat(
@@ -276,33 +284,32 @@ def merge_segments(
         f"{index_dir}/segments"
     )
 
-    # docmeta remap: live docs only, dense new ids (from the same remap
-    # arrays the posting kernel used; dm is already driver-side)
-    parts = []
-    for sid in seg_ids:
-        g = dm[dm["segment_id"] == sid]
-        if g.empty:
-            continue
-        old = g["doc_id"].to_numpy(np.int64)
-        new = remaps[sid][old]
-        keep = new > 0
-        parts.append(
-            pd.DataFrame(
-                {"segment_id": sid, "doc_id": old[keep], "new_doc_id": new[keep]}
-            )
+    # docmeta remap: DISTRIBUTED dense renumber (no driver collect) — live
+    # docs get ``base_offset + row_number() over (segment, order by doc_id)``,
+    # exactly the kernel's searchsorted arithmetic over dense ids
+    dm_src = spark.read.parquet(f"{index_dir}/docmeta").filter(
+        F.col("segment_id").isin(list(seg_ids))
+    )
+    if deleted:
+        from iresearch_spark.index.deletes import deletes_df
+
+        dm_src = dm_src.join(
+            F.broadcast(deletes_df(spark, index_dir)),
+            ["segment_id", "doc_id"],
+            "anti",
         )
-    remap_df = spark.createDataFrame(
-        pd.concat(parts) if parts else
-        pd.DataFrame(columns=["segment_id", "doc_id", "new_doc_id"]).astype(
-            {"segment_id": "int64", "doc_id": "int64", "new_doc_id": "int64"}
-        ),
-        schema="segment_id int, doc_id int, new_doc_id int",
+    base_map = F.create_map(
+        *[F.lit(x) for sid in seg_ids for x in (sid, bases[sid])]
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("segment_id").orderBy("doc_id")
     )
     dm_new = (
-        spark.read.parquet(f"{index_dir}/docmeta")
-        .filter(F.col("segment_id").isin(list(seg_ids)))
-        .join(F.broadcast(remap_df), ["segment_id", "doc_id"])
-        .withColumn("doc_id", F.col("new_doc_id").cast("int"))
+        dm_src.withColumn(
+            "new_doc_id",
+            (base_map[F.col("segment_id")] + rn).cast("int"),
+        )
+        .withColumn("doc_id", F.col("new_doc_id"))
         .drop("new_doc_id")
         .withColumn("segment_id", F.lit(new_id).cast("int"))
     )
@@ -310,7 +317,8 @@ def merge_segments(
         f"{index_dir}/docmeta"
     )
 
-    # stats + manifest update
+    # stats + manifest update (per-field doc stats from the rewritten
+    # docmeta — one distributed agg, nothing driver-side but K scalars)
     sstats = (
         spark.read.parquet(f"{index_dir}/segments")
         .filter(F.col("segment_id") == new_id)
@@ -327,15 +335,33 @@ def merge_segments(
         .collect()[0]
         .asDict()
     )
-    live_dl = (
-        np.concatenate(live_dls_all) if live_dls_all else np.empty(0, np.int64)
+    extra_names = [
+        name for name, _ in man.field_specs() if name != man.field_name
+    ]
+    field_aggs = []
+    for name in extra_names:
+        c = F.col(f"dl_{name}")
+        field_aggs.append(
+            F.sum(F.when(c > 0, 1).otherwise(0)).alias(f"dwf_{name}")
+        )
+        field_aggs.append(F.sum(c).alias(f"ttf_{name}"))
+    dstats = (
+        spark.read.parquet(f"{index_dir}/docmeta")
+        .filter(F.col("segment_id") == new_id)
+        .agg(
+            F.sum(F.when(F.col("dl") > 0, 1).otherwise(0)).alias("dwf"),
+            F.sum("dl").alias("ttf"),
+            *field_aggs,
+        )
+        .collect()[0]
+        .asDict()
     )
     rec = {
         "segment_id": new_id,
         "field": man.field_name,
         "docs": total_docs,
-        "docs_with_field": int((live_dl > 0).sum()),
-        "total_term_freq": int(live_dl.sum()),
+        "docs_with_field": int(dstats["dwf"] or 0),
+        "total_term_freq": int(dstats["ttf"] or 0),
         "terms": int(sstats["terms"] or 0),
         "sum_doc_freq": int(sstats["sum_doc_freq"] or 0),
         "postings_bytes": int(sstats["postings_bytes"] or 0),
@@ -350,6 +376,14 @@ def merge_segments(
             ),
         },
     }
+    if extra_names:
+        rec["fields"] = {
+            name: {
+                "docs_with_field": int(dstats[f"dwf_{name}"] or 0),
+                "total_term_freq": int(dstats[f"ttf_{name}"] or 0),
+            }
+            for name in extra_names
+        }
     write_checkpoint(index_dir, rec)
     new_segments = [s for s in man.segments if s["segment_id"] not in set(seg_ids)]
     new_segments.append(rec)
@@ -362,6 +396,7 @@ def merge_segments(
             analyzer=man.analyzer,
             with_positions=man.with_positions,
             segments=new_segments,
+            fields=man.fields,
         ),
     )
     if cleanup:

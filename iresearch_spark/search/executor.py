@@ -58,6 +58,7 @@ from iresearch_spark.search.filters import (
     ExistsF,
     Filter,
     Fuzzy,
+    damerau_levenshtein,
     NGramSimilarity,
     Not,
     Or,
@@ -92,8 +93,30 @@ class SearchEngine:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         self.manifest = m
         self.field = m.field_name
-        self.docs_with_field = sum(s["docs_with_field"] for s in m.segments)
-        self.total_term_freq = sum(s["total_term_freq"] for s in m.segments)
+        # per-field GLOBAL stats (multi-field: segment_writer.hpp:91-119);
+        # primary field stats live at the segment record's top level,
+        # secondary fields under rec["fields"][name]
+        self.field_stats: dict[str, tuple[int, int]] = {}
+        for name, _az in m.field_specs():
+            if name == m.field_name:
+                dwf = sum(s["docs_with_field"] for s in m.segments)
+                ttf = sum(s["total_term_freq"] for s in m.segments)
+            else:
+                dwf = sum(
+                    s.get("fields", {}).get(name, {}).get("docs_with_field", 0)
+                    for s in m.segments
+                )
+                ttf = sum(
+                    s.get("fields", {}).get(name, {}).get("total_term_freq", 0)
+                    for s in m.segments
+                )
+            self.field_stats[name] = (dwf, ttf)
+        self.docs_with_field, self.total_term_freq = self.field_stats[self.field]
+
+    def _resolve_field(self, name: str) -> str:
+        """Leaf field resolution: unknown names fall back to the primary
+        field (legacy filters default to field_name='content')."""
+        return name if name in self.field_stats else self.field
 
     # ------------------------------------------------------------- helpers
     def segments_df(self, with_positions: bool) -> DataFrame:
@@ -110,15 +133,21 @@ class SearchEngine:
         )
 
     def norms_df(self) -> DataFrame:
-        """(segment_id, doc_id, dl, deleted) — the kernel's per-doc side.
-        Tombstoned docs (deletes table, segment_writer.hpp:63-66 document
-        mask) are flagged and dropped at posting-decode time."""
+        """(segment_id, doc_id, dl[, dl_<field>...], deleted) — the kernel's
+        per-doc side. Tombstoned docs (deletes table,
+        segment_writer.hpp:63-66 document mask) are flagged and dropped at
+        posting-decode time."""
         import os
 
+        from iresearch_spark.index.build import docmeta_schema
+
+        extra = [n for n in self.field_stats if n != self.field]
         base = (
-            self.spark.read.schema(DOCMETA_SCHEMA)
+            self.spark.read.schema(docmeta_schema(extra))
             .parquet(f"{self.index_dir}/docmeta")
-            .select("segment_id", "doc_id", "dl")
+            .select(
+                "segment_id", "doc_id", "dl", *[f"dl_{n}" for n in extra]
+            )
         )
         if os.path.isdir(f"{self.index_dir}/deletes"):
             from iresearch_spark.index.deletes import deletes_df
@@ -136,42 +165,20 @@ class SearchEngine:
             f"{self.index_dir}/docmeta"
         )
 
-    def _dictionary(self, predicate) -> list[tuple[str, int]]:
-        """Distinct matching terms + global docs_count, predicate pushed down."""
-        rows = (
-            self.spark.read.schema(SEGMENTS_SCHEMA)
-            .parquet(f"{self.index_dir}/segments")
-            .filter((F.col("field") == self.field) & predicate)
-            .groupBy("term")
-            .agg(F.sum("docs_count").alias("df"))
-            .collect()
-        )
-        return [(r["term"], int(r["df"])) for r in rows]
-
-    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
-        if not terms:
-            return {}
-        rows = (
-            self.spark.read.schema(SEGMENTS_SCHEMA)
-            .parquet(f"{self.index_dir}/segments")
-            .filter(
-                (F.col("field") == self.field) & F.col("term").isin(list(set(terms)))
-            )
-            .groupBy("term")
-            .agg(F.sum("docs_count").alias("df"))
-            .collect()
-        )
-        out = {t: 0 for t in terms}
-        out.update({r["term"]: int(r["df"]) for r in rows})
-        return out
-
-    def _expand_leaf_terms(self, leaf) -> list[tuple[str, int]]:
-        """Matching (term, global df) pairs for a multi-term leaf."""
+    @staticmethod
+    def _leaf_pred(leaf):
+        """Term-set predicate of a multi-term leaf (JVM column expression,
+        pushed into the dictionary scan). Transposition-aware fuzzy
+        (Damerau, levenshtein_filter.hpp:67) over-approximates with
+        levenshtein <= 2*d (a transposition costs <=2 plain edits); exact
+        Damerau post-filters driver-side."""
         if isinstance(leaf, Prefix):
-            pred = F.col("term").startswith(leaf.prefix)
-        elif isinstance(leaf, Wildcard):
-            pred = F.col("term").like(leaf.pattern)
-        elif isinstance(leaf, TermRange):
+            return F.col("term").startswith(leaf.prefix)
+        if isinstance(leaf, Wildcard):
+            # Spark's LIKE uses backslash as the default escape char, same
+            # as the reference automaton's \% \_ escapes (wildcard_utils.cpp)
+            return F.col("term").like(leaf.pattern)
+        if isinstance(leaf, TermRange):
             pred = F.lit(True)
             if leaf.min_term is not None:
                 pred = pred & (
@@ -185,50 +192,134 @@ class SearchEngine:
                     if leaf.include_max
                     else F.col("term") < leaf.max_term
                 )
-        elif isinstance(leaf, Fuzzy):
-            pred = (
+            return pred
+        if isinstance(leaf, Fuzzy):
+            lev_cap = leaf.max_distance * (
+                2 if leaf.with_transpositions else 1
+            )
+            return (
                 (F.length("term") >= len(leaf.term) - leaf.max_distance)
                 & (F.length("term") <= len(leaf.term) + leaf.max_distance)
                 & (
                     F.levenshtein(F.col("term"), F.lit(leaf.term))
-                    <= leaf.max_distance
+                    <= lev_cap
                 )
             )
-        else:  # pragma: no cover
-            raise TypeError(leaf)
-        matched = self._dictionary(pred)
-        matched.sort(key=lambda td: td[0])
-        return matched
+        raise TypeError(leaf)  # pragma: no cover
+
+    def _batch_lookup(
+        self,
+        pairs: set[tuple[str, str]],
+        leaves: list[tuple[str, Filter]],
+    ) -> tuple[dict[tuple[str, str], int], list[list[tuple[str, int]]]]:
+        """ONE dictionary job for every literal term and multi-term leaf of
+        a query: the reference walks its in-memory FST per leaf; we pay one
+        pushed-down parquet scan total instead of one Spark job per leaf.
+
+        Returns ``(dfs, matches)``: global docs_count per literal (field,
+        term) pair, and the matched (term, df) list per leaf."""
+        from functools import reduce
+        from operator import or_
+
+        by_field: dict[str, set[str]] = {}
+        for fld, term in pairs:
+            by_field.setdefault(fld, set()).add(term)
+        literal_preds = [
+            (F.col("field") == fld) & F.col("term").isin(sorted(terms))
+            for fld, terms in sorted(by_field.items())
+        ]
+        leaf_preds = [
+            (F.col("field") == fld) & self._leaf_pred(leaf)
+            for fld, leaf in leaves
+        ]
+        dfs = {p: 0 for p in pairs}
+        matches: list[list[tuple[str, int]]] = [[] for _ in leaves]
+        all_preds = literal_preds + leaf_preds
+        if not all_preds:
+            return dfs, matches
+        combined = reduce(or_, all_preds)
+        sel = [F.col("field"), F.col("term"), F.col("df")]
+        sel += [p.alias(f"m{i}") for i, p in enumerate(leaf_preds)]
+        rows = (
+            self.spark.read.schema(SEGMENTS_SCHEMA)
+            .parquet(f"{self.index_dir}/segments")
+            .filter(combined)
+            .groupBy("field", "term")
+            .agg(F.sum("docs_count").alias("df"))
+            .select(*sel)
+            .collect()
+        )
+        for r in rows:
+            key = (r["field"], r["term"])
+            if key in dfs:
+                dfs[key] = int(r["df"])
+            for i in range(len(leaves)):
+                if r[f"m{i}"]:
+                    matches[i].append((r["term"], int(r["df"])))
+        for i, (_fld, leaf) in enumerate(leaves):
+            if isinstance(leaf, Fuzzy) and leaf.with_transpositions:
+                matches[i] = [
+                    (t, df_)
+                    for t, df_ in matches[i]
+                    if damerau_levenshtein(t, leaf.term) <= leaf.max_distance
+                ]
+            matches[i].sort(key=lambda td: td[0])
+        return dfs, matches
 
     # ------------------------------------------------------------- prepare
     def prepare(self, f: Filter, dtype_name: str = "float32") -> _Prepared:
         dtype = np.float32 if dtype_name == "float32" else np.float64
         f = rewrite(f)
         scorer = self.scorer
-        norm_const, norm_length = scorer.field_consts(
-            self.docs_with_field, self.total_term_freq, dtype
-        )
         instances: list[dict] = []
         needs_positions = False
+        used_fields: set[str] = {self.field}
 
-        # pass 1: collect literal terms to fetch dfs in one job
-        literal_terms: list[str] = []
+        fconsts: dict[str, tuple[float, float]] = {}
+
+        def field_nc_nl(fld: str) -> tuple[float, float]:
+            """Per-field norm constants (avgdl is a FIELD property)."""
+            if fld not in fconsts:
+                dwf, ttf = self.field_stats[fld]
+                nc, nl = scorer.field_consts(dwf, ttf, dtype)
+                fconsts[fld] = (float(nc), float(nl))
+            return fconsts[fld]
+
+        # pass 1: collect literal (field, term) pairs + multi-term leaves so
+        # that ALL dictionary lookups happen in ONE pushed-down scan
+        literal_pairs: list[tuple[str, str]] = []
+        leaf_list: list[tuple[str, Filter]] = []
+        leaf_index: dict[tuple[str, Filter], int] = {}
+
+        def reg_leaf(fld: str, leaf: Filter) -> None:
+            key = (fld, leaf)
+            if key not in leaf_index:
+                leaf_index[key] = len(leaf_list)
+                leaf_list.append(key)
 
         def collect_terms(node: Filter):
             if isinstance(node, TermF):
-                literal_terms.append(node.term)
-            elif isinstance(node, TermsF):
-                literal_terms.extend(node.terms)
-            elif isinstance(node, NGramSimilarity):
-                literal_terms.extend(node.terms)
+                literal_pairs.append(
+                    (self._resolve_field(node.field_name), node.term)
+                )
+            elif isinstance(node, (TermsF, NGramSimilarity)):
+                fld = self._resolve_field(node.field_name)
+                literal_pairs.extend((fld, t) for t in node.terms)
             elif isinstance(node, (Phrase, SamePosition)):
+                fld = self._resolve_field(node.field_name)
                 for el in node.terms:
                     if isinstance(el, str):
-                        literal_terms.append(el)
+                        literal_pairs.append((fld, el))
                     elif isinstance(el, TermF):
-                        literal_terms.append(el.term)
+                        literal_pairs.append((fld, el.term))
                     elif isinstance(el, TermsF):
-                        literal_terms.extend(el.terms)
+                        literal_pairs.extend((fld, t) for t in el.terms)
+                    elif isinstance(el, (Prefix, Wildcard, TermRange, Fuzzy)):
+                        reg_leaf(fld, el)
+                    else:
+                        raise TypeError(f"bad phrase element {el!r}")
+            elif isinstance(node, (Prefix, Wildcard, TermRange, Fuzzy)):
+                reg_leaf(self._resolve_field(node.field_name), node)
             elif isinstance(node, (And, Or)):
                 for c in node.children:
                     collect_terms(c)
@@ -236,59 +327,43 @@ class SearchEngine:
                 collect_terms(node.child)
 
         collect_terms(f)
-        dfs = self._term_dfs(literal_terms)
+        dfs, leaf_matches = self._batch_lookup(set(literal_pairs), leaf_list)
 
-        def add_instance(term: str, df: int, boost: float, scored: bool) -> int:
+        def add_instance(
+            fld: str, term: str, df: int, boost: float, scored: bool
+        ) -> int:
+            used_fields.add(fld)
+            nc, nl = field_nc_nl(fld)
             if scored:
-                idf = scorer.idf(self.docs_with_field, df, dtype)
+                idf = scorer.idf(self.field_stats[fld][0], df, dtype)
                 c0 = float(scorer.c0(boost, idf, dtype))
             else:
                 c0 = 0.0
-            instances.append({"term": term, "c0": c0, "scored": scored})
+            instances.append(
+                {
+                    "field": fld,
+                    "term": term,
+                    "c0": c0,
+                    "scored": scored,
+                    "nc": nc,
+                    "nl": nl,
+                }
+            )
             return len(instances) - 1
 
+        def leaf_terms(fld: str, leaf: Filter) -> list[tuple[str, int]]:
+            return leaf_matches[leaf_index[(fld, leaf)]]
+
         def expand_multiterm(leaf, boost: float) -> dict:
-            if isinstance(leaf, Prefix):
-                pred = F.col("term").startswith(leaf.prefix)
-                limit = leaf.scored_terms_limit
-            elif isinstance(leaf, Wildcard):
-                pred = F.col("term").like(leaf.pattern)
-                limit = leaf.scored_terms_limit
-            elif isinstance(leaf, TermRange):
-                pred = F.lit(True)
-                if leaf.min_term is not None:
-                    pred = pred & (
-                        F.col("term") >= leaf.min_term
-                        if leaf.include_min
-                        else F.col("term") > leaf.min_term
-                    )
-                if leaf.max_term is not None:
-                    pred = pred & (
-                        F.col("term") <= leaf.max_term
-                        if leaf.include_max
-                        else F.col("term") < leaf.max_term
-                    )
-                limit = leaf.scored_terms_limit
-            elif isinstance(leaf, Fuzzy):
-                pred = (
-                    F.length("term") >= len(leaf.term) - leaf.max_distance
-                ) & (F.length("term") <= len(leaf.term) + leaf.max_distance) & (
-                    F.levenshtein(F.col("term"), F.lit(leaf.term))
-                    <= leaf.max_distance
-                )
-                limit = leaf.scored_terms_limit
-            else:  # pragma: no cover
-                raise TypeError(leaf)
-            matched = self._dictionary(pred)
+            fld = self._resolve_field(leaf.field_name)
+            matched = list(leaf_terms(fld, leaf))
             # scored_terms_limit: top-N by docs_count get scored, the rest
             # become an unscored doc-set (limited_sample_collector.hpp:45-244)
             matched.sort(key=lambda td: (-td[1], td[0]))
+            limit = leaf.scored_terms_limit
             tids = []
-            scored_flags = []
             for rank, (t, df) in enumerate(matched):
-                scored = rank < limit
-                tids.append(add_instance(t, df, boost, scored))
-                scored_flags.append(scored)
+                tids.append(add_instance(fld, t, df, boost, rank < limit))
             if not tids:
                 return {"op": "empty"}
             return {"op": "terms", "tids": tids, "min_match": 1}
@@ -300,18 +375,25 @@ class SearchEngine:
             if isinstance(node, All):
                 return {"op": "all", "boost": b}
             if isinstance(node, TermF):
-                tid = add_instance(node.term, dfs[node.term], b, True)
+                fld = self._resolve_field(node.field_name)
+                tid = add_instance(fld, node.term, dfs[(fld, node.term)], b, True)
                 return {"op": "terms", "tids": [tid], "min_match": 1}
             if isinstance(node, TermsF):
-                tids = [add_instance(t, dfs[t], b, True) for t in node.terms]
+                fld = self._resolve_field(node.field_name)
+                tids = [
+                    add_instance(fld, t, dfs[(fld, t)], b, True)
+                    for t in node.terms
+                ]
                 return {"op": "terms", "tids": tids, "min_match": node.min_match}
             if isinstance(node, (Prefix, Wildcard, TermRange, Fuzzy)):
                 return expand_multiterm(node, b)
             if isinstance(node, NGramSimilarity):
                 nonlocal needs_positions
                 needs_positions = True
+                fld = self._resolve_field(node.field_name)
                 tids = [
-                    add_instance(t, dfs[t], b, False) for t in node.terms
+                    add_instance(fld, t, dfs[(fld, t)], b, False)
+                    for t in node.terms
                 ]
                 return {
                     "op": "ngram_sim",
@@ -321,6 +403,7 @@ class SearchEngine:
                 }
             if isinstance(node, (Phrase, SamePosition)):
                 needs_positions = True
+                fld = self._resolve_field(node.field_name)
                 # each phrase slot is a term SET: a plain string (fixed
                 # phrase) or a multi-term leaf (variadic phrase,
                 # phrase_filter.hpp:38-150 "variadic" case). Slot df for idf
@@ -329,19 +412,18 @@ class SearchEngine:
                 slot_dfs: list[int] = []
                 for el in node.terms:
                     if isinstance(el, str):
-                        slot_terms = [(el, dfs[el])]
+                        slot_terms = [(el, dfs[(fld, el)])]
                     elif isinstance(el, TermF):
-                        slot_terms = [(el.term, dfs.get(el.term) or
-                                       self._term_dfs([el.term])[el.term])]
+                        slot_terms = [(el.term, dfs[(fld, el.term)])]
                     elif isinstance(el, TermsF):
-                        d2 = self._term_dfs(list(el.terms))
-                        slot_terms = [(t, d2[t]) for t in el.terms]
+                        slot_terms = [(t, dfs[(fld, t)]) for t in el.terms]
                     elif isinstance(el, (Prefix, Wildcard, TermRange, Fuzzy)):
-                        slot_terms = self._expand_leaf_terms(el)
+                        slot_terms = leaf_terms(fld, el)
                     else:
                         raise TypeError(f"bad phrase element {el!r}")
                     groups.append(
-                        [add_instance(t, df_, b, False) for t, df_ in slot_terms]
+                        [add_instance(fld, t, df_, b, False)
+                         for t, df_ in slot_terms]
                     )
                     slot_dfs.append(sum(df_ for _, df_ in slot_terms))
                 # stats accumulate across slots into one buffer
@@ -350,17 +432,27 @@ class SearchEngine:
                 for df_ in slot_dfs:
                     idf_sum = dtype(
                         idf_sum
-                        + self.scorer.idf(self.docs_with_field, df_, dtype)
+                        + self.scorer.idf(self.field_stats[fld][0], df_, dtype)
                     )
                 c0 = float(self.scorer.c0(b, idf_sum, dtype))
+                nc, nl = field_nc_nl(fld)
                 op = "phrase" if isinstance(node, Phrase) else "same_position"
-                return {"op": op, "groups": groups, "c0": c0}
+                return {"op": op, "groups": groups, "c0": c0,
+                        "field": fld, "nc": nc, "nl": nl}
             if isinstance(node, ExistsF):
-                return {"op": "exists", "boost": b}
+                fld = self._resolve_field(node.field_name)
+                used_fields.add(fld)
+                return {"op": "exists", "boost": b, "field": fld}
             if isinstance(node, Or):
                 if all(isinstance(c, TermF) for c in node.children):
                     tids = [
-                        add_instance(c.term, dfs[c.term], b * c.boost, True)
+                        add_instance(
+                            self._resolve_field(c.field_name),
+                            c.term,
+                            dfs[(self._resolve_field(c.field_name), c.term)],
+                            b * c.boost,
+                            True,
+                        )
                         for c in node.children
                     ]
                     return {"op": "terms", "tids": tids,
@@ -391,16 +483,16 @@ class SearchEngine:
             raise TypeError(f"cannot compile {node!r}")
 
         tree = compile_node(f, 1.0)
-        needed = sorted({i["term"] for i in instances})
+        needed = sorted({(i["field"], i["term"]) for i in instances})
         return _Prepared(
             tree=tree,
             instances=instances,
             needs_positions=needs_positions,
             consts={
                 "dtype": dtype_name,
-                "norm_const": float(norm_const),
-                "norm_length": float(norm_length),
                 "scorer": self.scorer,
+                "primary": self.field,
+                "fields": sorted(used_fields),
             },
             needed_terms=needed,
         )
@@ -420,13 +512,25 @@ class SearchEngine:
         score_type = "float" if dtype == "float32" else "double"
         out_schema = f"segment_id int, doc_id int, score {score_type}"
 
-        seg_df = self.segments_df(prep.needs_positions).filter(
-            (F.col("field") == self.field)
-        )
+        seg_df = self.segments_df(prep.needs_positions)
         if prep.needed_terms:
-            seg_df = seg_df.filter(F.col("term").isin(prep.needed_terms))
+            from functools import reduce
+            from operator import or_
+
+            by_field: dict[str, list[str]] = {}
+            for fld, t in prep.needed_terms:
+                by_field.setdefault(fld, []).append(t)
+            seg_df = seg_df.filter(
+                reduce(
+                    or_,
+                    [
+                        (F.col("field") == fld) & F.col("term").isin(terms)
+                        for fld, terms in sorted(by_field.items())
+                    ],
+                )
+            )
         else:
-            seg_df = seg_df.limit(0)
+            seg_df = seg_df.filter(F.col("field") == self.field).limit(0)
         norms = self.norms_df()
 
         local_topk = (
@@ -468,8 +572,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         dtype = np.float32 if consts["dtype"] == "float32" else np.float64
         scorer = consts["scorer"]
-        norm_const = dtype(consts["norm_const"])
-        norm_length = dtype(consts["norm_length"])
+        primary_field = consts["primary"]
         out_cols = {"segment_id": [], "doc_id": [], "score": []}
         empty = pd.DataFrame(
             {
@@ -483,8 +586,18 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
         segment_id = int(right["segment_id"].iloc[0])
         doc_ids_all = right["doc_id"].to_numpy(np.int64)
         ndocs = int(doc_ids_all.max())
-        dl_arr = np.zeros(ndocs + 1, dtype=np.int64)
-        dl_arr[doc_ids_all] = right["dl"].to_numpy(np.int64)
+        # per-field dense norm lookups (primary field's norms are the ``dl``
+        # column, secondary fields ride in ``dl_<name>``)
+        dl_arrs: dict[str, np.ndarray] = {}
+
+        def dl_arr_of(fld: str) -> np.ndarray:
+            if fld not in dl_arrs:
+                col = "dl" if fld == primary_field else f"dl_{fld}"
+                a = np.zeros(ndocs + 1, dtype=np.int64)
+                a[doc_ids_all] = right[col].to_numpy(np.int64)
+                dl_arrs[fld] = a
+            return dl_arrs[fld]
+
         del_arr = np.zeros(ndocs + 1, dtype=bool)
         if "deleted" in right.columns:
             del_arr[doc_ids_all] = right["deleted"].to_numpy(bool)
@@ -492,54 +605,55 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
         else:
             live_mask_rows = np.ones(doc_ids_all.size, dtype=bool)
 
-        rows_by_term: dict[str, Any] = {}
+        # (field, term) -> segment row
+        rows_by_term: dict[tuple[str, str], Any] = {}
         for row in left.itertuples(index=False):
-            rows_by_term[row.term] = row
+            rows_by_term[(row.field, row.term)] = row
 
-        decode_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        raw_cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
-        pos_cache: dict[str, np.ndarray] = {}
+        decode_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+        raw_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+        pos_cache: dict[tuple, np.ndarray] = {}
 
-        def raw_postings(term: str):
+        def raw_postings(key: tuple[str, str]):
             """Undeleted-unfiltered decode — the positions blob is aligned to
             THESE freqs; the document mask is applied downstream."""
-            if term not in raw_cache:
-                r = rows_by_term.get(term)
+            if key not in raw_cache:
+                r = rows_by_term.get(key)
                 if r is None:
-                    raw_cache[term] = (
+                    raw_cache[key] = (
                         np.empty(0, dtype=np.int64),
                         np.empty(0, dtype=np.int64),
                     )
                 else:
-                    raw_cache[term] = decode_postings(
+                    raw_cache[key] = decode_postings(
                         r.postings, int(r.docs_count)
                     )
-            return raw_cache[term]
+            return raw_cache[key]
 
-        def full_postings(term: str):
-            if term not in decode_cache:
-                d, f_ = raw_postings(term)
+        def full_postings(key: tuple[str, str]):
+            if key not in decode_cache:
+                d, f_ = raw_postings(key)
                 keep = ~del_arr[d]  # document mask applied at decode
-                decode_cache[term] = (d[keep], f_[keep])
-            return decode_cache[term]
+                decode_cache[key] = (d[keep], f_[keep])
+            return decode_cache[key]
 
-        def flat_positions(term: str) -> np.ndarray:
+        def flat_positions(key: tuple[str, str]) -> np.ndarray:
             """Full positions decode, aligned to raw (pre-mask) freqs."""
-            if term not in pos_cache:
-                r = rows_by_term[term]
-                _, f_raw = raw_postings(term)
-                pos_cache[term] = decode_positions(r.positions, f_raw)
-            return pos_cache[term]
+            if key not in pos_cache:
+                r = rows_by_term[key]
+                _, f_raw = raw_postings(key)
+                pos_cache[key] = decode_positions(r.positions, f_raw)
+            return pos_cache[key]
 
-        def positions_for(term: str, cand: np.ndarray):
-            """(doc_rep, pos) arrays of ``term``'s occurrences restricted to
+        def positions_for(key: tuple[str, str], cand: np.ndarray):
+            """(doc_rep, pos) arrays of the term's occurrences restricted to
             the sorted candidate docs — one vectorized gather, no per-doc
             loop."""
-            d_raw, f_raw = raw_postings(term)
+            d_raw, f_raw = raw_postings(key)
             if d_raw.size == 0 or cand.size == 0:
                 e = np.empty(0, dtype=np.int64)
                 return e, e
-            flat = flat_positions(term)
+            flat = flat_positions(key)
             starts = np.concatenate([[0], np.cumsum(f_raw)])
             sel = np.flatnonzero(np.isin(d_raw, cand, assume_unique=True))
             lengths = f_raw[sel]
@@ -553,12 +667,23 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             )
             return np.repeat(d_raw[sel], lengths), flat[idx]
 
+        def inst_key(tid: int) -> tuple[str, str]:
+            inst = instances[tid]
+            return (inst["field"], inst["term"])
+
         def inst_score(tid: int, docs: np.ndarray, freqs: np.ndarray) -> np.ndarray:
             inst = instances[tid]
             if not inst["scored"]:
                 return np.zeros(docs.size, dtype=dtype)
             c0 = dtype(inst["c0"])
-            return scorer.score(freqs, dl_arr[docs], c0, norm_const, norm_length, dtype)
+            return scorer.score(
+                freqs,
+                dl_arr_of(inst["field"])[docs],
+                c0,
+                dtype(inst["nc"]),
+                dtype(inst["nl"]),
+                dtype,
+            )
 
         def merge_union(parts_d, parts_s, min_match, merge):
             """Union with min_match; sub-scores combined per ScoreMergeType
@@ -592,16 +717,17 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                 docs = np.sort(doc_ids_all[live_mask_rows])
                 return docs, np.zeros(docs.size, dtype)
             if op == "exists":
+                dl_f = dl_arr_of(node.get("field", primary_field))
                 docs = np.sort(
                     doc_ids_all[
-                        (right["dl"].to_numpy(np.int64) > 0) & live_mask_rows
+                        (dl_f[doc_ids_all] > 0) & live_mask_rows
                     ]
                 )
                 return docs, np.full(docs.size, dtype(node["boost"]), dtype)
             if op == "terms":
                 parts_d, parts_s = [], []
                 for tid in node["tids"]:
-                    d, f_ = full_postings(instances[tid]["term"])
+                    d, f_ = full_postings(inst_key(tid))
                     parts_d.append(d)
                     parts_s.append(inst_score(tid, d, f_))
                 if not parts_d:
@@ -644,7 +770,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             slot_docs: list[np.ndarray] = []
             slot_members: list[list[str]] = []
             for g in groups:
-                terms_g = [instances[t]["term"] for t in g]
+                terms_g = [inst_key(t) for t in g]
                 terms_g = [t for t in terms_g if t in rows_by_term]
                 if not terms_g:
                     return np.empty(0, np.int64), np.empty(0, dtype)
@@ -695,7 +821,12 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                                            return_counts=True)
             c0 = dtype(node["c0"])
             scores = scorer.score(
-                phrase_freqs, dl_arr[docs], c0, norm_const, norm_length, dtype
+                phrase_freqs,
+                dl_arr_of(node.get("field", primary_field))[docs],
+                c0,
+                dtype(node["nc"]),
+                dtype(node["nl"]),
+                dtype,
             )
             return docs, scores
 
@@ -707,7 +838,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             k = len(tids)
             thr = node["threshold"]
             min_d = max(1, int(np.ceil(thr * k)))
-            terms = [instances[t]["term"] for t in tids]
+            terms = [inst_key(t) for t in tids]
             uniq_terms = list(dict.fromkeys(terms))
             postings = {t: full_postings(t) for t in uniq_terms}
             mult = {t: terms.count(t) for t in uniq_terms}
@@ -785,7 +916,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
         # -------------------------------------------------- WAND path
         def wand_terms(node: dict) -> tuple[np.ndarray, np.ndarray]:
             tids = [
-                t for t in node["tids"] if instances[t]["term"] in rows_by_term
+                t for t in node["tids"] if inst_key(t) in rows_by_term
             ]
             if not tids:
                 return np.empty(0, np.int64), np.empty(0, dtype)
@@ -793,15 +924,15 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             ub = np.zeros(ndocs + 2, dtype=np.float64)
             blockinfo = {}
             for tid in tids:
-                r = rows_by_term[instances[tid]["term"]]
+                r = rows_by_term[inst_key(tid)]
                 last = np.asarray(r.last_docs, dtype=np.int64)
                 first = np.concatenate([[0], last[:-1]]) + 1
                 bub = scorer.block_upper_bound(
                     np.asarray(r.max_freqs, dtype=np.int64),
                     np.asarray(r.min_norms, dtype=np.int64),
                     dtype(instances[tid]["c0"]),
-                    norm_const,
-                    norm_length,
+                    dtype(instances[tid]["nc"]),
+                    dtype(instances[tid]["nl"]),
                     dtype,
                 ).astype(np.float64)
                 np.add.at(ub, first, bub)

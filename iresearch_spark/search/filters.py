@@ -88,12 +88,49 @@ class TermRange(Filter):
 
 @dataclass(frozen=True)
 class Fuzzy(Filter):
-    """by_edit_distance: Levenshtein <= max_distance (levenshtein_filter)."""
+    """by_edit_distance: Levenshtein <= max_distance (levenshtein_filter);
+    ``with_transpositions`` switches to Damerau-Levenshtein (adjacent swap
+    counts 1, `core/search/levenshtein_filter.hpp:67`)."""
 
     field_name: str = "content"
     term: str = ""
     max_distance: int = 1
     scored_terms_limit: int = 1024
+    with_transpositions: bool = False
+
+
+def damerau_levenshtein(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner) — matches the
+    transposition-aware distance of the reference's parametric automata and
+    DuckDB's ``damerau_levenshtein`` (the oracle twin). Used driver-side to
+    post-filter dictionary candidates; terms are short, so the O(|a||b|) DP
+    is negligible next to the scan."""
+    la, lb = len(a), len(b)
+    inf = la + lb
+    score = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        score[i + 1][1] = i
+    for j in range(lb + 1):
+        score[1][j + 1] = j
+    da: dict[str, int] = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            i1 = da.get(b[j - 1], 0)
+            j1 = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            score[i + 1][j + 1] = min(
+                score[i][j] + cost,
+                score[i + 1][j] + 1,
+                score[i][j + 1] + 1,
+                score[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),
+            )
+        da[a[i - 1]] = i
+    return score[la + 1][lb + 1]
 
 
 @dataclass(frozen=True)

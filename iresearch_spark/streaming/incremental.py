@@ -129,6 +129,7 @@ class IncrementalIndexer:
                 analyzer=m.analyzer,
                 with_positions=m.with_positions,
                 segments=sorted(live.values(), key=lambda s: s["segment_id"]),
+                fields=m.fields,
             ),
         )
         return {
