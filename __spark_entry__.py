@@ -283,6 +283,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(_docs(s, d), 0.05)
     q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(_docs(s, d), 64, 16, 0.05)
     q["dedup_simhash"] = lambda s, d: simhash_signatures(_docs(s, d))
+    # banded Hamming-ball candidate join over the signatures (rows-only:
+    # pd.util.hash_array signatures have no SQL twin; completeness vs
+    # brute-force popcount is pytest-gated)
+    from iresearch_spark.pipeline.dedup import simhash_pairs
+
+    q["dedup_simhash_pairs"] = lambda s, d: simhash_pairs(
+        _docs(s, d), max_hamming=3, bands=4
+    )
     q["text_token_stats"] = lambda s, d: token_stats(_docs(s, d))
     q["text_fingerprint"] = lambda s, d: fingerprints(_docs(s, d))
     q["text_quality"] = lambda s, d: quality_scores(_docs(s, d))

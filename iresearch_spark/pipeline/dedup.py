@@ -55,30 +55,88 @@ def _trigrams():
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.15) -> DataFrame:
-    """Token-trigram Jaccard similarity for candidate pairs within the same
-    ``source`` bucket (the deterministic candidate rule, SQL-expressible).
-    Returns pairs with jaccard >= threshold."""
+def _ngram_flat(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, n_grams, gram) — one row per distinct trigram."""
     g = docs.select(
         "doc_id", F.col("source").alias("bucket"), _trigrams().alias("grams")
     ).withColumn("n_grams", F.size("grams"))
-    flat = g.select("doc_id", "bucket", "n_grams", F.explode("grams").alias("gram"))
-    a = flat.alias("a")
-    b = flat.alias("b")
-    inter = (
+    return g.select(
+        "doc_id", "bucket", "n_grams", F.explode("grams").alias("gram")
+    )
+
+
+def _ngram_candidates(flat: DataFrame, threshold: float) -> DataFrame:
+    """PREFIX-FILTERED candidate pairs (All-Pairs/PPJoin prefix trick):
+    order grams globally by (df asc, gram) and join only each doc's first
+    ``n - ceil(t*n) + 1`` rarest grams. Complete for Jaccard >= t
+    (a qualifying pair shares a prefix gram under any fixed global order),
+    and a universal boilerplate gram — df == corpus size — falls OUT of
+    every non-trivial prefix, killing the O(df^2) hot-gram join blowup
+    that the naive gram join suffers at scale."""
+    from pyspark.sql import Window
+
+    # the global order only has to be FIXED, not dense: (df, gram) is a
+    # total order, so no global-rank window (which would be one task)
+    gram_df = flat.groupBy("gram").agg(F.count("*").alias("gdf"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("gdf"), F.asc("gram"))
+    prefix_len = F.col("n_grams") - F.ceil(
+        F.lit(float(threshold)) * F.col("n_grams")
+    ) + F.lit(1)
+    prefix = (
+        flat.join(gram_df, "gram")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "bucket", "gram")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.n_grams").alias("na"),
-            F.col("b.n_grams").alias("nb"),
         )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.15) -> DataFrame:
+    """Token-trigram Jaccard similarity for candidate pairs within the same
+    ``source`` bucket (the deterministic candidate rule, SQL-expressible).
+    Returns pairs with jaccard >= threshold. Candidates come from the
+    prefix filter (:func:`_ngram_candidates`); the exact intersection is
+    then counted only for surviving pairs."""
+    flat = _ngram_flat(docs)
+    cand = _ngram_candidates(flat, threshold)
+    sizes = flat.select("doc_id", "n_grams").dropDuplicates(["doc_id"])
+    fa = flat.select(
+        F.col("doc_id").alias("doc_a"), F.col("gram").alias("gram")
+    )
+    fb = flat.select(
+        F.col("doc_id").alias("doc_b"), F.col("gram").alias("gram")
+    )
+    inter = (
+        cand.join(fa, "doc_a")
+        .join(fb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")
+            ),
+            "doc_b",
+        )
     )
     jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
     return inter.select(
@@ -272,4 +330,55 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
     return docs.select("doc_id", "text").mapInPandas(
         kernel, schema="doc_id long, simhash long"
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, banded.
+
+    Pigeonhole: splitting the 64-bit signature into ``bands`` equal slices
+    guarantees every pair with hamming <= bands-1 collides on at least one
+    slice, so the candidate join is on (band, slice value) — no all-pairs
+    anywhere; popcount(xor) verifies exactly. Defaults (4 bands of 16 bits)
+    are complete for max_hamming <= 3 — the classic Charikar/web-crawl
+    setting. All JVM-side (shift/mask/bit_count), signatures via the
+    vectorized kernel above.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"bands={bands} only guarantees recall for hamming <= {bands - 1}"
+        )
+    sig = simhash_signatures(docs)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    slices = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        "doc_id", "simhash", F.posexplode(slices).alias("band", "bval")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
     )

@@ -104,3 +104,84 @@ def test_simhash_emits_row_for_empty_doc(spark):
     out = simhash_signatures(spark.createDataFrame(pdf)).toPandas()
     assert sorted(out["doc_id"]) == [1, 2]
     assert int(out.set_index("doc_id").loc[2, "simhash"]) == 0
+
+
+def test_simhash_pairs_complete_vs_bruteforce(docs_df):
+    """Banded Hamming join must return EXACTLY the brute-force popcount
+    pairs for hamming <= bands-1 (pigeonhole completeness)."""
+    from iresearch_spark.pipeline.dedup import simhash_pairs
+
+    sigs = simhash_signatures(docs_df).toPandas()
+    sig_of = dict(zip(sigs.doc_id, sigs.simhash))
+    want = set()
+    ids = sorted(sig_of)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(int(sig_of[a]) ^ int(sig_of[b])).count("1") <= 3:
+                want.add((a, b))
+    got_pdf = simhash_pairs(docs_df, max_hamming=3, bands=4).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(got_pdf.doc_a, got_pdf.doc_b)}
+    assert got == want
+    assert (0, 100) in got  # the exact copy (hamming 0)
+
+
+def test_simhash_pairs_rejects_impossible_threshold(docs_df):
+    from iresearch_spark.pipeline.dedup import simhash_pairs
+
+    with pytest.raises(ValueError):
+        simhash_pairs(docs_df, max_hamming=4, bands=4)
+
+
+def test_ngram_prefix_filter_matches_naive(docs_df, spark):
+    """Prefix-filtered ngram_jaccard_pairs must return the identical pair
+    set as a brute-force all-pairs computation."""
+    from iresearch_spark.analysis import CODE_TOKEN_PATTERN
+    import re
+
+    pdf = docs_df.toPandas()
+    grams = {}
+    for r in pdf.itertuples(index=False):
+        toks = re.findall(CODE_TOKEN_PATTERN, (r.text or "").lower())
+        grams[r.doc_id] = {
+            " ".join(toks[i: i + 3]) for i in range(len(toks) - 2)
+        }
+    want = {}
+    ids = sorted(grams)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(grams[a] & grams[b])
+            if inter:
+                j = round(inter / (len(grams[a]) + len(grams[b]) - inter), 4)
+                if j >= 0.15:
+                    want[(a, b)] = j
+    got_pdf = ngram_jaccard_pairs(docs_df, 0.15).toPandas()
+    got = {
+        (int(a), int(b)): float(j)
+        for a, b, j in zip(got_pdf.doc_a, got_pdf.doc_b, got_pdf.jaccard)
+    }
+    assert got == want
+    assert (0, 100) in got and got[(0, 100)] == 1.0
+
+
+def test_ngram_prefix_bounds_universal_gram(spark):
+    """A boilerplate gram shared by EVERY doc must not explode the candidate
+    join: with distinct remainders, the universal gram is common (max df) so
+    it never enters any prefix, and candidates stay ~0 instead of O(n^2)."""
+    from iresearch_spark.pipeline.dedup import _ngram_candidates, _ngram_flat
+
+    n = 60
+    rows = []
+    for i in range(n):
+        # shared 3-token boilerplate + unique tail
+        rows.append(
+            (i, f"license header apache unique{i}a unique{i}b unique{i}c "
+                f"unique{i}d unique{i}e", "en", "s0", 0)
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    docs = spark.createDataFrame(pdf)
+    n_cand = _ngram_candidates(_ngram_flat(docs), 0.5).count()
+    assert n_cand < n  # naive same-gram join would give n*(n-1)/2 = 1770
+    # and the full op returns no >=0.5 pairs (docs share only boilerplate)
+    assert ngram_jaccard_pairs(docs, 0.5).count() == 0
