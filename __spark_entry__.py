@@ -89,8 +89,37 @@ def _engine_mf(spark: SparkSession, sf_dir: str):
     return SearchEngine(spark, _INDEX_CACHE[key])
 
 
-def _ft(spark: SparkSession, sf_dir: str, filt, k=None, mf=False) -> DataFrame:
-    eng = _engine_mf(spark, sf_dir) if mf else _engine(spark, sf_dir)
+def _engine_text(spark: SparkSession, sf_dir: str):
+    """Index under the `text` analyzer (lower -> accent strip -> stopwords
+    -> snowball stem, text_token_stream.cpp order)."""
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.search import SearchEngine
+
+    key = os.path.abspath(sf_dir) + "#text"
+    if key not in _INDEX_CACHE:
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "iresearch_idx_text_" + os.path.abspath(sf_dir).replace("/", "_"),
+        )
+        build_index(
+            spark,
+            _corpus_from_documents(_docs(spark, sf_dir)),
+            idx,
+            num_segments=4,
+            analyzer="text",
+        )
+        _INDEX_CACHE[key] = idx
+    return SearchEngine(spark, _INDEX_CACHE[key])
+
+
+def _ft(spark: SparkSession, sf_dir: str, filt, k=None, mf=False,
+        text=False) -> DataFrame:
+    if mf:
+        eng = _engine_mf(spark, sf_dir)
+    elif text:
+        eng = _engine_text(spark, sf_dir)
+    else:
+        eng = _engine(spark, sf_dir)
     res = eng.search(filt, k=k, dtype="float64")
     return res.select(
         F.col("path").cast("int").alias("doc_id"),
@@ -231,6 +260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         And(children=(TermF(term="window"),
                       TermF(field_name="lang", term="en"))),
         mf=True,
+    )
+    # `text` analyzer (snowball stem + stopwords): 'queri' is the stem of
+    # 'query'; dl excludes stopwords; oracle replicates the stem map in SQL
+    q["ft_text_stem"] = lambda s, d: _ft(
+        s, d, TermF(term="queri"), text=True
     )
     q["ft_exists"] = lambda s, d: _ft(s, d, ExistsF())
     # LCS-based ngram similarity: no tractable SQL twin -> rows-only check,
@@ -552,6 +586,49 @@ SELECT tf.doc_id,
 FROM tf JOIN df USING (term) CROSS JOIN stats s
 WHERE tf.term IN ('window', 'batch')
 GROUP BY tf.doc_id
+"""
+    # text analyzer twin: same unicode word tokenize, the reference's
+    # stopword list, and the snowball stem map of the (fixed) testdata
+    # vocabulary inlined as a CASE (DuckDB's stem()/fts extension is not
+    # installable offline; stemmer parity is pytest-gated in test_stem.py)
+    from iresearch_spark.analysis.analyzers import DEFAULT_STOPWORDS
+
+    stops = ",".join(f"'{w}'" for w in sorted(DEFAULT_STOPWORDS))
+    stem_case = (
+        "CASE raw WHEN 'customer' THEN 'custom' WHEN 'merge' THEN 'merg' "
+        "WHEN 'query' THEN 'queri' WHEN 'table' THEN 'tabl' "
+        "WHEN 'value' THEN 'valu' ELSE raw END"
+    )
+    o["ft_text_stem"] = f"""
+WITH rawtok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^\\W_]+')) AS raw
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, {stem_case} AS term
+  FROM rawtok WHERE raw NOT IN ({stops})
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM dl
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dl.dl, df.df,
+         ((1.2 + 1.0) * ln(1.0 + ((s.n - df.df) + 0.5) / (df.df + 0.5))) AS c0,
+         ((1.2 - 1.2 * 0.75) + (1.2 * 0.75 / s.avgdl) * dl.dl) AS c1
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(c0 - c0 * c1 / (c1 + tf)), 4) AS score
+FROM scored
+WHERE term = 'queri'
+GROUP BY doc_id
 """
     o["ft_exists"] = f"""
 SELECT doc_id, 1.0 AS score

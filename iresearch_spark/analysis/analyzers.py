@@ -84,14 +84,44 @@ DEFAULT_STOPWORDS = frozenset(
 )
 
 
+# unicode word tokens (letters+digits+marks, no underscore): the moral
+# equivalent of ICU word-break for the `text` analyzer
+TEXT_TOKEN_PATTERN = r"[^\W_]+"
+
+
 def text_analyzer(
-    s: pd.Series, stopwords: frozenset[str] = DEFAULT_STOPWORDS
+    s: pd.Series,
+    stopwords: frozenset[str] = DEFAULT_STOPWORDS,
+    stemming: bool = True,
+    accent: bool = False,
 ) -> pd.Series:
-    """`text` analyzer core pipeline (text_token_stream.cpp): locale word
-    split + lower + stopword removal. Accent-strip and snowball stemming are
-    omitted (no ICU/stemmer in this environment; positions/token identity
-    semantics are what the engine consumes)."""
-    return stopwords_filter(code_analyzer(s), stopwords)
+    """`text` analyzer pipeline in the REFERENCE's stage order
+    (`text_token_stream.cpp:355-420 process_term`): word split -> lower ->
+    accent strip (when ``accent=False``, like the reference's default) ->
+    stopword check on the UNSTEMMED token -> snowball stem.
+
+    Stemming is per-distinct-token via a memo dict (dictionary-level, not
+    per-occurrence), keeping the Python cost O(vocab) per batch."""
+    from iresearch_spark.analysis.stem import stem_english, strip_accents
+
+    toks = s.fillna("").str.lower().str.findall(TEXT_TOKEN_PATTERN)
+    memo: dict[str, str] = {}
+
+    def proc(ts: list[str]) -> list[str]:
+        out = []
+        for t in ts:
+            if not accent:
+                t = strip_accents(t)
+            if t in stopwords:
+                continue
+            st = memo.get(t)
+            if st is None:
+                st = stem_english(t) if stemming else t
+                memo[t] = st
+            out.append(st)
+        return out
+
+    return toks.map(proc)
 
 
 def stopwords_analyzer(
@@ -100,14 +130,36 @@ def stopwords_analyzer(
     return stopwords_filter(identity_analyzer(s), stopwords)
 
 
+def stem_analyzer(s: pd.Series) -> pd.Series:
+    """Whole input -> its lowered snowball stem, one token
+    (`text_token_stemming_stream.cpp`: the stream wraps a single term)."""
+    from iresearch_spark.analysis.stem import stem_english
+
+    return s.fillna("").str.lower().map(lambda x: [stem_english(x)])
+
+
+def multi_delimiter_analyzer(
+    s: pd.Series, delimiters: tuple[str, ...] = (",", ";")
+) -> pd.Series:
+    """Split on ANY of a set of delimiters, dropping empty tokens
+    (`multi_delimited_token_stream.hpp:34`)."""
+    import re
+
+    pat = "|".join(re.escape(d) for d in delimiters)
+    rx = re.compile(pat)
+    return s.fillna("").map(lambda x: [t for t in rx.split(x) if t])
+
+
 ANALYZERS: dict[str, Analyzer] = {
     "code": code_analyzer,
     "segmentation": code_analyzer,
     "identity": identity_analyzer,
     "norm": norm_lower_analyzer,
     "delimiter": delimiter_analyzer,
+    "multi_delimiter": multi_delimiter_analyzer,
     "ngram": ngram_analyzer,
     "text": text_analyzer,
+    "stem": stem_analyzer,
     "stopwords": stopwords_analyzer,
 }
 

@@ -60,8 +60,11 @@ def like_to_regex(pattern: str) -> re.Pattern:
 
 class OracleEngine:
     def __init__(self, corpus: pd.DataFrame, num_segments: int, k: float = 1.2,
-                 b: float = 0.75):
+                 b: float = 0.75, tokenize=None):
+        """``tokenize``: optional callable str -> list[str] replacing the
+        default code tokenizer (for analyzer variants, e.g. `text`)."""
         self.k, self.b = k, b
+        self._tokenize = tokenize
         self.num_segments = num_segments
         corpus = corpus.copy()
         corpus["segment_id"] = [
@@ -75,7 +78,11 @@ class OracleEngine:
             g = g.sort_values(["repo", "path", "commit"])
             for local, (_, row) in enumerate(g.iterrows(), start=1):
                 key = (int(seg), local)
-                toks = TOKEN_RE.findall(row["content"].lower())
+                toks = (
+                    self._tokenize(row["content"])
+                    if self._tokenize is not None
+                    else TOKEN_RE.findall(row["content"].lower())
+                )
                 self.dl[key] = len(toks)
                 self.identity[key] = (row["repo"], row["path"], row["commit"])
                 for pos, t in enumerate(toks):
