@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -72,17 +73,6 @@ def cosine_topk(emb: DataFrame, query_pred, k: int = 10) -> DataFrame:
     )
 
 
-def _sq_dist(vec, centroid_lit):
-    return F.aggregate(
-        F.zip_with(
-            vec, centroid_lit,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _l2_normalized(emb: DataFrame) -> DataFrame:
     """vec_id + unit-norm embedding: cosine NN == L2 NN on the unit sphere,
     which is what the IVF quantizer must be trained on."""
@@ -95,41 +85,98 @@ def _l2_normalized(emb: DataFrame) -> DataFrame:
     )
 
 
+def _unit_rows(series) -> np.ndarray:
+    """Stack an Arrow array-column batch into a unit-normalized (n, dim)
+    float64 matrix."""
+    X = np.stack(series.to_numpy()).astype(np.float64)
+    n = np.linalg.norm(X, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return X / n
+
+
 def train_ivf_centroids(
     emb: DataFrame, nlist: int = 16, iters: int = 3, dim: int = 64
 ) -> np.ndarray:
-    """Deterministic distributed Lloyd iterations for the IVF coarse
-    quantizer over UNIT-NORM vectors. Init = the nlist vectors with the
-    lowest xxhash64(vec_id) (parallelism-invariant); each iteration is one
-    groupBy over cell assignments (posexplode -> per-dim mean), all
-    DataFrame ops."""
-    emb = _l2_normalized(emb)
+    """Distributed Lloyd iterations for the IVF coarse quantizer over
+    UNIT-NORM vectors. Init = the nlist vectors with the lowest
+    xxhash64(vec_id) (parallelism-invariant). Each iteration is ONE
+    mapInPandas pass: every Arrow batch assigns its vectors to cells with a
+    numpy matmul against the broadcast centroid matrix and emits per-cell
+    partial (count, sum) rows — nlist x (dim+1) doubles per batch — which
+    the driver reduces. No nlist x dim literal expression trees, so nlist
+    can be 4k+ (the Catalyst-literal variant stops compiling around there)."""
     seed_rows = (
-        emb.select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
+        _l2_normalized(emb)
+        .select("vec_id", "embedding", F.xxhash64("vec_id").alias("h"))
         .orderBy("h", "vec_id")
         .limit(nlist)
         .collect()
     )
     cents = np.array([list(r["embedding"]) for r in seed_rows], dtype=np.float64)
+    sc = emb.sparkSession.sparkContext
+    src = emb.select("embedding")
     for _ in range(iters):
-        cent_lits = [
-            F.array(*[F.lit(float(v)) for v in row]) for row in cents
-        ]
-        dists = F.array(*[_sq_dist(F.col("embedding"), c) for c in cent_lits])
-        assigned = emb.select(
-            (F.array_position(dists, F.array_min(dists)) - 1).alias("cell"),
-            F.posexplode("embedding").alias("pos", "x"),
-        )
-        rows = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg("x").alias("m"))
-            .collect()
-        )
-        new = cents.copy()
+        bc = sc.broadcast(cents)
+
+        def partials(batches):
+            C = bc.value
+            c_sq = (C * C).sum(axis=1)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                X = _unit_rows(pdf["embedding"])
+                cell = np.argmin(-2.0 * (X @ C.T) + c_sq[None, :], axis=1)
+                sums = np.zeros((C.shape[0], X.shape[1]), dtype=np.float64)
+                np.add.at(sums, cell, X)
+                counts = np.bincount(cell, minlength=C.shape[0])
+                yield pd.DataFrame(
+                    {
+                        "cell": np.arange(C.shape[0], dtype=np.int32),
+                        "cnt": counts.astype(np.int64),
+                        "sums": list(sums),
+                    }
+                )
+
+        rows = src.mapInPandas(
+            partials, schema="cell int, cnt long, sums array<double>"
+        ).collect()
+        tot = np.zeros((nlist, cents.shape[1]), dtype=np.float64)
+        cnt = np.zeros(nlist, dtype=np.int64)
         for r in rows:
-            new[int(r["cell"]), int(r["pos"])] = float(r["m"])
+            tot[r["cell"]] += np.asarray(r["sums"], dtype=np.float64)
+            cnt[r["cell"]] += r["cnt"]
+        new = cents.copy()
+        nz = cnt > 0
+        new[nz] = tot[nz] / cnt[nz, None]
         cents = new
+        bc.unpersist()
     return cents
+
+
+def _ivf_udfs(spark_context, cents: np.ndarray, nprobe: int):
+    """(cell_of, probes_of) pandas UDFs over a broadcast centroid matrix."""
+    bc = spark_context.broadcast(cents)
+
+    @F.pandas_udf("int")
+    def cell_of(embedding: pd.Series) -> pd.Series:
+        C = bc.value
+        if embedding.empty:
+            return pd.Series([], dtype="int32")
+        X = _unit_rows(embedding)
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probes_of(embedding: pd.Series) -> pd.Series:
+        C = bc.value
+        if embedding.empty:
+            return pd.Series([], dtype=object)
+        X = _unit_rows(embedding)
+        d = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return cell_of, probes_of
 
 
 def ivf_topk(
@@ -140,36 +187,19 @@ def ivf_topk(
     into nlist cells; each query scans only its nprobe nearest cells, then
     exact cosine re-ranks candidates. The scale path when the LSH signature
     family fits poorly: candidates ∝ n * nprobe / nlist, and the cell join
-    replaces the O(n·q) crossJoin."""
+    replaces the O(n·q) crossJoin. Cell assignment and probe ordering run
+    in Arrow-batched numpy kernels against a broadcast centroid matrix."""
     cents = train_ivf_centroids(emb, nlist, iters, dim)
-    cent_lits = [F.array(*[F.lit(float(v)) for v in row]) for row in cents]
-    dists = F.array(*[_sq_dist(F.col("embedding"), c) for c in cent_lits])
-    norm_cells = _l2_normalized(emb).select(
-        "vec_id",
-        (F.array_position(dists, F.array_min(dists)) - 1).alias("cell"),
+    cell_of, probes_of = _ivf_udfs(
+        emb.sparkSession.sparkContext, cents, nprobe
     )
     c = emb.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    ).join(norm_cells.withColumnRenamed("vec_id", "cid"), "cid")
-    # query probes its nprobe nearest cells (sorted squared distances)
-    idx = F.sequence(F.lit(0), F.lit(nlist - 1))
-    order = F.transform(
-        F.slice(
-            F.array_sort(
-                F.zip_with(dists, idx, lambda d_, i: F.struct(
-                    d_.alias("d"), i.alias("i")))
-            ),
-            1, nprobe,
-        ),
-        lambda s: s["i"],
-    )
-    probe = _l2_normalized(emb.filter(query_pred)).select(
-        "vec_id", F.explode(order).alias("cell")
-    )
+    ).withColumn("cell", cell_of(F.col("cv")))
     q = (
         emb.filter(query_pred)
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-        .join(probe.withColumnRenamed("vec_id", "qid"), "qid")
+        .withColumn("cell", F.explode(probes_of(F.col("qv"))))
     )
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = (

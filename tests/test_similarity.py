@@ -54,3 +54,13 @@ def test_lsh_recall_floor(emb, exact):
     approx = lsh_ann_topk(emb, F.col("vec_id") < 10, 10, bits=4, probes=4).toPandas()
     r = _recall(approx, exact)
     assert 0.25 <= r < 1.0
+
+
+def test_ivf_nlist_256_no_literal_blowup(emb, exact):
+    """nlist=256 must run through the numpy-kernel path (the Catalyst
+    literal-centroid variant blows up the expression tree well before
+    this) and, scanning a quarter of the cells, clear a recall floor."""
+    approx = ivf_topk(
+        emb, F.col("vec_id") < 10, 10, nlist=256, nprobe=64, iters=2
+    ).toPandas()
+    assert _recall(approx, exact) >= 0.6
