@@ -76,6 +76,54 @@ def _raw_decoder(payload: bytes, meta: dict) -> np.ndarray:
 register_decoder("raw", _raw_decoder)
 
 
+def _need_of(meta: dict) -> int:
+    """Decoded element count implied by the meta struct."""
+    h = meta.get("height") or 1
+    w = meta.get("width") or 1
+    c = meta.get("channels") or 1
+    nf = meta.get("n_frames") or 0
+    return nf * h * w if nf else h * w * c
+
+
+def _batch_decode(pdf: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a whole Arrow batch -> (flat uint8 buffer, per-asset starts).
+
+    The ``raw`` codec decodes ALL assets in one vectorized gather over the
+    concatenated payload bytes (np.frombuffer + modular index arithmetic —
+    no per-row Python on the byte path). Registered real codecs are
+    inherently per-asset; they fall back to a loop and are concatenated
+    into the same flat shape, so every featurizer downstream is
+    codec-agnostic and vectorized."""
+    metas = pdf["meta"].tolist()
+    kinds = pdf["kind"].tolist()
+    needs = np.array([_need_of(m) for m in metas], dtype=np.int64)
+    codecs = {
+        (m.get("codec") or k) for m, k in zip(metas, kinds)
+    }
+    starts = np.concatenate([[0], np.cumsum(needs)])
+    if codecs <= {"raw"}:
+        payloads = [p or b"\x00" for p in pdf["data"].tolist()]
+        lens = np.array([len(p) for p in payloads], dtype=np.int64)
+        pay_starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        concat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        total = int(needs.sum())
+        intra = np.arange(total, dtype=np.int64) - np.repeat(
+            starts[:-1], needs
+        )
+        src = np.repeat(pay_starts, needs) + intra % np.repeat(lens, needs)
+        return concat[src], starts
+    parts = []
+    for row in pdf.itertuples(index=False):
+        dec = get_decoder(row.meta.get("codec") or row.kind)
+        parts.append(dec(row.data, dict(row.meta)).ravel())
+    flat = (
+        np.concatenate(parts).astype(np.uint8)
+        if parts
+        else np.empty(0, np.uint8)
+    )
+    return flat, starts
+
+
 def assets_from_documents(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic asset table derived from the documents corpus: the text
     bytes become the payload, metadata derives from byte length. Gives the
@@ -125,23 +173,26 @@ def image_features(assets: DataFrame, n_buckets: int = 16) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, feats, means = [], [], []
-            for row in pdf.itertuples(index=False):
-                dec = get_decoder(row.meta.get("codec") or row.kind)
-                img = dec(row.data, dict(row.meta))
-                hist = np.bincount(
-                    (img.ravel() >> 4).astype(np.int64), minlength=16
-                )[:16].astype(np.float64)
-                if n_buckets != 16:
-                    hist = hist.reshape(n_buckets, -1).sum(axis=1)
-                total = hist.sum() or 1.0
-                ids.append(row.asset_id)
-                feats.append((hist / total).round(6).tolist())
-                means.append(round(float(img.mean()), 4))
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            flat, starts = _batch_decode(pdf)
+            needs = np.diff(starts)
+            asset_of = np.repeat(np.arange(n, dtype=np.int64), needs)
+            # per-asset 16-bucket histogram in ONE scatter-add
+            hist = np.zeros((n, 16), dtype=np.float64)
+            np.add.at(hist, (asset_of, (flat >> 4).astype(np.int64)), 1.0)
+            if n_buckets != 16:
+                hist = hist.reshape(n, n_buckets, -1).sum(axis=2)
+            totals = hist.sum(axis=1)
+            totals[totals == 0.0] = 1.0
+            feats = (hist / totals[:, None]).round(6)
+            sums = np.add.reduceat(flat.astype(np.float64), starts[:-1])
+            means = np.round(sums / np.maximum(needs, 1), 4)
             yield pd.DataFrame(
                 {
-                    "asset_id": pd.Series(ids, dtype="int64"),
-                    "features": feats,
+                    "asset_id": pdf["asset_id"].astype("int64").to_numpy(),
+                    "features": list(feats),
                     "mean_luma": pd.Series(means, dtype="float64"),
                 }
             )
@@ -157,22 +208,42 @@ def image_resize(assets: DataFrame, out_h: int = 8, out_w: int = 8) -> DataFrame
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, blobs = [], []
-            for row in pdf.itertuples(index=False):
-                dec = get_decoder(row.meta.get("codec") or row.kind)
-                img = dec(row.data, dict(row.meta)).astype(np.float64)
-                h, w = img.shape[0], img.shape[1]
-                ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
-                xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
-                small = img[ys][:, xs].mean(axis=-1) if img.ndim == 3 else img[ys][:, xs]
-                ids.append(row.asset_id)
-                blobs.append(small.astype(np.uint8).tobytes())
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            flat, starts = _batch_decode(pdf)
+            metas = pdf["meta"].tolist()
+            h = np.array([m.get("height") or 1 for m in metas], np.int64)
+            w = np.array([m.get("width") or 1 for m in metas], np.int64)
+            c = np.array([m.get("channels") or 1 for m in metas], np.int64)
+            # nearest-pixel sample grid, all assets at once: (n, out_h/out_w)
+            ys = np.minimum(
+                (np.arange(out_h, dtype=np.int64)[None, :] * h[:, None])
+                // out_h,
+                h[:, None] - 1,
+            )
+            xs = np.minimum(
+                (np.arange(out_w, dtype=np.int64)[None, :] * w[:, None])
+                // out_w,
+                w[:, None] - 1,
+            )
+            # pixel index (channel-major gather, mean over channels)
+            base = (
+                starts[:-1][:, None, None]
+                + (ys[:, :, None] * w[:, None, None] + xs[:, None, :])
+                * c[:, None, None]
+            )
+            acc = np.zeros((n, out_h, out_w), dtype=np.float64)
+            for ch in range(int(c.max())):
+                sel = c > ch
+                acc[sel] += flat[base[sel] + ch]
+            small = (acc / c[:, None, None]).astype(np.uint8)
             yield pd.DataFrame(
                 {
-                    "asset_id": pd.Series(ids, dtype="int64"),
-                    "resized": blobs,
-                    "out_h": pd.Series([out_h] * len(ids), dtype="int32"),
-                    "out_w": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "asset_id": pdf["asset_id"].astype("int64").to_numpy(),
+                    "resized": [r.tobytes() for r in small],
+                    "out_h": pd.Series([out_h] * n, dtype="int32"),
+                    "out_w": pd.Series([out_w] * n, dtype="int32"),
                 }
             )
 
@@ -186,24 +257,47 @@ def frame_sample(assets: DataFrame, every_n: int = 2) -> DataFrame:
     (mapInPandas yielding more rows than it consumes — the explode shape
     for downstream per-frame featurizers)."""
 
+    empty = pd.DataFrame(
+        {
+            "asset_id": pd.Series([], dtype="int64"),
+            "frame_idx": pd.Series([], dtype="int32"),
+            "frame_checksum": pd.Series([], dtype="int64"),
+        }
+    )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, fidx, digests = [], [], []
-            for row in pdf.itertuples(index=False):
-                meta = dict(row.meta)
-                if not meta.get("n_frames"):
-                    continue
-                dec = get_decoder(meta.get("codec") or row.kind)
-                vid = dec(row.data, meta)
-                for i in range(0, vid.shape[0], every_n):
-                    ids.append(row.asset_id)
-                    fidx.append(i)
-                    digests.append(int(vid[i].sum()))
+            pdf = pdf[
+                pdf["meta"].map(lambda m: bool(m.get("n_frames")))
+            ].reset_index(drop=True)
+            if pdf.empty:
+                yield empty
+                continue
+            n = len(pdf)
+            flat, starts = _batch_decode(pdf)
+            metas = pdf["meta"].tolist()
+            nf = np.array([m["n_frames"] for m in metas], np.int64)
+            fsz = np.array(
+                [(m.get("height") or 1) * (m.get("width") or 1) for m in metas],
+                np.int64,
+            )
+            # global frame boundaries -> one reduceat for ALL checksums
+            total_frames = int(nf.sum())
+            f_asset = np.repeat(np.arange(n, dtype=np.int64), nf)
+            f_off = np.concatenate([[0], np.cumsum(nf)])[:-1]
+            f_idx = np.arange(total_frames, dtype=np.int64) - np.repeat(
+                f_off, nf
+            )
+            f_starts = starts[:-1][f_asset] + f_idx * fsz[f_asset]
+            sums = np.add.reduceat(flat.astype(np.int64), f_starts)
+            keep = f_idx % every_n == 0
             yield pd.DataFrame(
                 {
-                    "asset_id": pd.Series(ids, dtype="int64"),
-                    "frame_idx": pd.Series(fidx, dtype="int32"),
-                    "frame_checksum": pd.Series(digests, dtype="int64"),
+                    "asset_id": pdf["asset_id"]
+                    .astype("int64")
+                    .to_numpy()[f_asset[keep]],
+                    "frame_idx": pd.Series(f_idx[keep], dtype="int32"),
+                    "frame_checksum": pd.Series(sums[keep], dtype="int64"),
                 }
             )
 
@@ -218,24 +312,41 @@ def audio_energy(assets: DataFrame, frame_len: int = 256) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, n_frames_out, rms = [], [], []
-            for row in pdf.itertuples(index=False):
-                dec = get_decoder(row.meta.get("codec") or row.kind)
-                samples = dec(row.data, dict(row.meta)).ravel().astype(np.float64)
-                n = (samples.size // frame_len) * frame_len
-                if n == 0:
-                    frames = samples[None, :]
-                else:
-                    frames = samples[:n].reshape(-1, frame_len)
-                e = np.sqrt((frames**2).mean(axis=1))
-                ids.append(row.asset_id)
-                n_frames_out.append(frames.shape[0])
-                rms.append(round(float(e.mean()), 4))
+            if pdf.empty:
+                continue
+            n = len(pdf)
+            flat, starts = _batch_decode(pdf)
+            needs = np.diff(starts)
+            # segment layout per asset: w full windows (+1 remainder seg to
+            # DISCARD when rem>0); assets shorter than one window get a
+            # single whole-buffer window
+            w = needs // frame_len
+            rem = needs - w * frame_len
+            has_rem = (w > 0) & (rem > 0)
+            seg_counts = np.where(w > 0, w + has_rem, 1)
+            total_segs = int(seg_counts.sum())
+            seg_off = np.concatenate([[0], np.cumsum(seg_counts)])[:-1]
+            sizes = np.full(total_segs, frame_len, dtype=np.int64)
+            last = seg_off + seg_counts - 1
+            sizes[last[w == 0]] = needs[w == 0]
+            sizes[last[has_rem]] = rem[has_rem]
+            seg_starts = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+            sq = flat.astype(np.float64) ** 2
+            seg_sums = np.add.reduceat(sq, seg_starts)
+            rms = np.sqrt(seg_sums / sizes)
+            keep = np.ones(total_segs, dtype=bool)
+            keep[last[has_rem]] = False
+            asset_of_seg = np.repeat(np.arange(n, dtype=np.int64), seg_counts)
+            n_windows = seg_counts - has_rem
+            rms_sum = np.zeros(n, dtype=np.float64)
+            np.add.at(rms_sum, asset_of_seg[keep], rms[keep])
             yield pd.DataFrame(
                 {
-                    "asset_id": pd.Series(ids, dtype="int64"),
-                    "n_windows": pd.Series(n_frames_out, dtype="int32"),
-                    "mean_rms": pd.Series(rms, dtype="float64"),
+                    "asset_id": pdf["asset_id"].astype("int64").to_numpy(),
+                    "n_windows": pd.Series(n_windows, dtype="int32"),
+                    "mean_rms": pd.Series(
+                        np.round(rms_sum / n_windows, 4), dtype="float64"
+                    ),
                 }
             )
 
