@@ -266,6 +266,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_text_stem"] = lambda s, d: _ft(
         s, d, TermF(term="queri"), text=True
     )
+
+    # proxy (cached) filter: second execution served from the persisted
+    # match set — results must equal the direct query (same oracle)
+    def ft_proxy_cached(s, d):
+        from iresearch_spark.search import Proxy
+
+        eng = _engine(s, d)
+        q_ = TermF(term="spark")
+        eng.search(Proxy(child=q_), k=None, dtype="float64").count()  # warm
+        res = eng.search(Proxy(child=q_), k=None, dtype="float64")
+        return res.select(
+            F.col("path").cast("int").alias("doc_id"),
+            F.round(F.col("score"), 4).alias("score"),
+        )
+
+    q["ft_proxy_cached"] = ft_proxy_cached
+
+    # highlighting: offsets of the query term in the top-k docs (rows-only:
+    # span extraction has no tractable DuckDB twin; spans are pytest-gated)
+    def ft_highlight(s, d):
+        from iresearch_spark.search import highlight_matches
+
+        eng = _engine(s, d)
+        res = eng.search(TermF(term="spark"), k=5, dtype="float64")
+        corpus = _corpus_from_documents(_docs(s, d))
+        hl = highlight_matches(res, corpus, ["spark"])
+        return hl.select(
+            F.col("path").cast("int").alias("doc_id"), "term", "start", "end"
+        )
+
+    q["ft_highlight"] = ft_highlight
     q["ft_exists"] = lambda s, d: _ft(s, d, ExistsF())
     # LCS-based ngram similarity: no tractable SQL twin -> rows-only check,
     # semantics pytest-verified (tests/test_ngram_similarity.py)
@@ -456,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["ft_term_scores"] = _bm25_union_sql("term = 'spark'")
+    o["ft_proxy_cached"] = _bm25_union_sql("term = 'spark'")
     o["ft_term_topk"] = (
         _bm25_union_sql("term = 'merge'")
         + " ORDER BY score DESC, doc_id LIMIT 10"

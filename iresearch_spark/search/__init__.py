@@ -9,6 +9,7 @@ from iresearch_spark.search.filters import (  # noqa: F401
     Or,
     Phrase,
     Prefix,
+    Proxy,
     SamePosition,
     TermF,
     TermRange,
@@ -18,3 +19,7 @@ from iresearch_spark.search.filters import (  # noqa: F401
 )
 from iresearch_spark.search.scorers import BM25, TFIDF, BoostScore  # noqa: F401
 from iresearch_spark.search.executor import SearchEngine  # noqa: F401
+from iresearch_spark.search.highlight import (  # noqa: F401
+    highlight_matches,
+    tokenize_with_offsets,
+)

@@ -64,6 +64,7 @@ from iresearch_spark.search.filters import (
     Or,
     Phrase,
     Prefix,
+    Proxy as ProxyF,
     SamePosition,
     TermF,
     TermRange,
@@ -112,6 +113,9 @@ class SearchEngine:
                 )
             self.field_stats[name] = (dwf, ttf)
         self.docs_with_field, self.total_term_freq = self.field_stats[self.field]
+        # proxy_filter cache: repr(filter) -> persisted full match set
+        self._proxy_cache: dict[tuple, DataFrame] = {}
+        self.proxy_hits = 0
 
     def _resolve_field(self, name: str) -> str:
         """Leaf field resolution: unknown names fall back to the primary
@@ -507,6 +511,8 @@ class SearchEngine:
         with_identity: bool = True,
     ) -> DataFrame:
         """Top-k (k int) or all-matches (k=None, scores without truncation)."""
+        if isinstance(f, ProxyF):
+            return self._search_proxy(f, k, dtype, with_identity)
         prep = self.prepare(f, dtype)
         kernel = _make_kernel(prep, k, wand and k is not None)
         score_type = "float" if dtype == "float32" else "double"
@@ -538,6 +544,12 @@ class SearchEngine:
             .cogroup(norms.groupby("segment_id"))
             .applyInPandas(kernel, schema=out_schema)
         )
+        return self._finalize(local_topk, k, with_identity)
+
+    def _finalize(
+        self, local_topk: DataFrame, k: int | None, with_identity: bool
+    ) -> DataFrame:
+        """Global order/limit + identity join back to docmeta."""
         if k is None:
             global_topk = local_topk
         else:
@@ -558,6 +570,37 @@ class SearchEngine:
             .select("repo", "path", "commit", "lang", "score", "segment_id", "doc_id")
             .orderBy(F.desc("score"), F.asc("segment_id"), F.asc("doc_id"))
         )
+
+    def _search_proxy(
+        self, f: "ProxyF", k: int | None, dtype: str, with_identity: bool
+    ) -> DataFrame:
+        """proxy_filter (`core/search/proxy_filter.cpp`): materialize the
+        wrapped filter's FULL match set once (persisted (segment, doc,
+        score) rows — the reference's cached bitset, with scores so any k
+        can be served), reuse it for every subsequent execution."""
+        key = (repr(f.child), dtype)
+        cached = self._proxy_cache.get(key)
+        if cached is None:
+            cached = self.search(
+                f.child, k=None, wand=False, dtype=dtype, with_identity=False
+            ).persist()
+            cached.count()  # materialize now so later queries only read
+            self._proxy_cache[key] = cached
+        else:
+            self.proxy_hits += 1
+        out = cached
+        if f.boost != 1.0:
+            score_type = "float" if dtype == "float32" else "double"
+            out = out.withColumn(
+                "score",
+                (F.col("score") * F.lit(float(f.boost))).cast(score_type),
+            )
+        return self._finalize(out, k, with_identity)
+
+    def clear_proxy_cache(self) -> None:
+        for df in self._proxy_cache.values():
+            df.unpersist()
+        self._proxy_cache.clear()
 
 
 # ----------------------------------------------------------------- kernel

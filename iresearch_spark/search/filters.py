@@ -179,6 +179,17 @@ class ExistsF(Filter):
 
 
 @dataclass(frozen=True)
+class Proxy(Filter):
+    """Cached-filter wrapper (`core/search/proxy_filter.cpp`): the wrapped
+    filter's full match set (docs + scores) is materialized and persisted
+    by the engine on first execution and reused by later searches — the
+    Spark reading of the reference's per-reader cached bitset (a persisted
+    DataFrame replaces the bitset; top-k/identity still run per query)."""
+
+    child: Filter = field(default_factory=lambda: Empty())
+
+
+@dataclass(frozen=True)
 class All(Filter):
     pass
 

@@ -126,3 +126,30 @@ def test_variadic_phrase(spark, tmp_path_factory):
     assert paths(
         Phrase(terms=("alpha", Prefix(prefix="b"), "gamma"))
     ) == ["ab", "ab2"]
+
+
+def test_wildcard_escape_literal_underscore(spark, tmp_path):
+    """\\_ and \\% match literal chars (wildcard_utils.cpp escape syntax;
+    Spark LIKE's default backslash escape)."""
+    import pandas as pd
+
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.search import SearchEngine, Wildcard
+
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"] * 3,
+            "path": ["p1", "p2", "p3"],
+            "commit": ["c"] * 3,
+            "lang": ["t"] * 3,
+            "content": ["a_b stuff", "axb stuff", "a9b stuff"],
+        }
+    )
+    d = str(tmp_path / "idx_esc")
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=1)
+    eng = SearchEngine(spark, d)
+    # unescaped _: any single char -> all three docs
+    assert eng.search(Wildcard(pattern="a_b"), k=None).count() == 3
+    # escaped \_: literal underscore -> only doc p1
+    rows = eng.search(Wildcard(pattern=r"a\_b"), k=None).collect()
+    assert [r["path"] for r in rows] == ["p1"]
