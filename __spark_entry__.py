@@ -40,13 +40,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corpus_from_documents(docs: DataFrame) -> DataFrame:
     """Map the documents table onto the engine's corpus shape
-    (repo, path, commit, lang, content); doc_id is recoverable from path."""
+    (repo, path, commit, lang, content); doc_id is recoverable from path.
+    Carries n_chars through for numeric-field indexing."""
     return docs.select(
         F.col("source").alias("repo"),
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("path"),
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("commit"),
         F.col("lang").alias("lang"),
         F.col("text").alias("content"),
+        F.col("n_chars").alias("n_chars"),
     )
 
 
@@ -83,7 +85,11 @@ def _engine_mf(spark: SparkSession, sf_dir: str):
             _corpus_from_documents(_docs(spark, sf_dir)),
             idx,
             num_segments=4,
-            fields=[("content", "code"), ("lang", "code")],
+            fields=[
+                ("content", "code"),
+                ("lang", "code"),
+                ("n_chars", "numeric"),
+            ],
         )
         _INDEX_CACHE[key] = idx
     return SearchEngine(spark, _INDEX_CACHE[key])
@@ -259,6 +265,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d,
         And(children=(TermF(term="window"),
                       TermF(field_name="lang", term="en"))),
+        mf=True,
+    )
+    # numeric trie terms INSIDE the index (token_streams.hpp numeric
+    # stream): granular range runs as a tiny per-level term union
+    from iresearch_spark.search import GranularRange
+
+    q["ft_granular_range_idx"] = lambda s, d: _ft(
+        s, d, GranularRange(field_name="n_chars", min_val=200, max_val=900),
         mf=True,
     )
     # `text` analyzer (snowball stem + stopwords): 'queri' is the stem of
@@ -488,6 +502,10 @@ def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["ft_term_scores"] = _bm25_union_sql("term = 'spark'")
     o["ft_proxy_cached"] = _bm25_union_sql("term = 'spark'")
+    o["ft_granular_range_idx"] = """
+SELECT doc_id, 1.0 AS score
+FROM documents WHERE n_chars BETWEEN 200 AND 900
+"""
     o["ft_term_topk"] = (
         _bm25_union_sql("term = 'merge'")
         + " ORDER BY score DESC, doc_id LIMIT 10"

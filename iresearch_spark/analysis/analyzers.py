@@ -150,8 +150,17 @@ def multi_delimiter_analyzer(
     return s.fillna("").map(lambda x: [t for t in rx.split(x) if t])
 
 
+def numeric_analyzer(s: pd.Series) -> pd.Series:
+    """Numeric trie token stream (token_streams.hpp:118-250); see
+    iresearch_spark.search.numeric."""
+    from iresearch_spark.search.numeric import numeric_analyzer as fn
+
+    return fn(s)
+
+
 ANALYZERS: dict[str, Analyzer] = {
     "code": code_analyzer,
+    "numeric": numeric_analyzer,
     "segmentation": code_analyzer,
     "identity": identity_analyzer,
     "norm": norm_lower_analyzer,

@@ -17,6 +17,11 @@ from iresearch_spark.search.filters import (  # noqa: F401
     Wildcard,
     rewrite,
 )
+from iresearch_spark.search.numeric import (  # noqa: F401
+    GranularRange,
+    granular_ranges,
+    numeric_terms,
+)
 from iresearch_spark.search.scorers import BM25, TFIDF, BoostScore  # noqa: F401
 from iresearch_spark.search.executor import SearchEngine  # noqa: F401
 from iresearch_spark.search.highlight import (  # noqa: F401

@@ -58,7 +58,10 @@ from iresearch_spark.search.filters import (
     ExistsF,
     Filter,
     Fuzzy,
-    damerau_levenshtein,
+    damerau_levenshtein,  # noqa: F401 (re-export for callers)
+)
+from iresearch_spark.search.numeric import GranularRange as GranularRangeF
+from iresearch_spark.search.filters import (
     NGramSimilarity,
     Not,
     Or,
@@ -324,6 +327,12 @@ class SearchEngine:
                         raise TypeError(f"bad phrase element {el!r}")
             elif isinstance(node, (Prefix, Wildcard, TermRange, Fuzzy)):
                 reg_leaf(self._resolve_field(node.field_name), node)
+            elif isinstance(node, GranularRangeF):
+                from iresearch_spark.search.numeric import granular_ranges
+
+                fld = self._resolve_field(node.field_name)
+                for tr in granular_ranges(node.min_val, node.max_val):
+                    reg_leaf(fld, tr)
             elif isinstance(node, (And, Or)):
                 for c in node.children:
                     collect_terms(c)
@@ -391,6 +400,25 @@ class SearchEngine:
                 return {"op": "terms", "tids": tids, "min_match": node.min_match}
             if isinstance(node, (Prefix, Wildcard, TermRange, Fuzzy)):
                 return expand_multiterm(node, b)
+            if isinstance(node, GranularRangeF):
+                from iresearch_spark.search.numeric import granular_ranges
+
+                fld = self._resolve_field(node.field_name)
+                tids = []
+                for tr in granular_ranges(node.min_val, node.max_val):
+                    tids.extend(
+                        add_instance(fld, t, df, b, False)
+                        for t, df in leaf_terms(fld, tr)
+                    )
+                if not tids:
+                    return {"op": "empty"}
+                # unscored trie-term union; constant score = boost (the
+                # reference's by_granular_range-as-filter usage)
+                return {
+                    "op": "const",
+                    "boost": b,
+                    "child": {"op": "terms", "tids": tids, "min_match": 1},
+                }
             if isinstance(node, NGramSimilarity):
                 nonlocal needs_positions
                 needs_positions = True
@@ -799,6 +827,9 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                     keep = ~np.isin(inter, ed, assume_unique=True)
                     inter, scores = inter[keep], scores[keep]
                 return inter, scores
+            if op == "const":
+                d, _ = eval_node(node["child"])
+                return d, np.full(d.size, dtype(node["boost"]), dtype)
             if op == "phrase":
                 return eval_phrase(node, gapped=True)
             if op == "same_position":

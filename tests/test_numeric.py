@@ -1,0 +1,110 @@
+"""Numeric trie terms + in-index granular range
+(token_streams.hpp:118-250 numeric stream, granular_range_filter.cpp)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from iresearch_spark.index.build import build_index
+from iresearch_spark.search import (
+    And,
+    GranularRange,
+    SearchEngine,
+    TermF,
+    granular_ranges,
+    numeric_terms,
+)
+from iresearch_spark.search.numeric import PRECISION_STEP, encode_numeric_term
+
+
+def _covered(val: int, ranges) -> bool:
+    terms = {encode_numeric_term(val, s) for s in range(0, 64, PRECISION_STEP)}
+    for tr in ranges:
+        lvl = tr.min_term[0]
+        shift = (ord(lvl) - ord("a")) * PRECISION_STEP
+        t = encode_numeric_term(val, shift)
+        if tr.min_term <= t <= tr.max_term:
+            assert t in terms
+            return True
+    return False
+
+
+@pytest.mark.parametrize(
+    "lo,hi",
+    [
+        (0, 0), (5, 5), (0, 255), (3, 700), (250, 270), (-17, 42),
+        (-1000, -900), (2**40, 2**40 + 10_000), (-(2**62), 2**62),
+    ],
+)
+def test_granular_decomposition_exact_cover(lo, hi):
+    """Every value inside [lo,hi] is covered; boundary-adjacent values
+    outside are NOT."""
+    ranges = granular_ranges(lo, hi)
+    assert ranges
+    rng = np.random.default_rng(42)
+    inside = {lo, hi, (lo + hi) // 2} | {
+        int(x) for x in rng.integers(lo, hi + 1, size=50)
+    }
+    for v in inside:
+        assert _covered(v, ranges), v
+    for v in (lo - 1, lo - 2, hi + 1, hi + 2):
+        assert not _covered(v, ranges), v
+
+
+def test_granular_term_count_is_logarithmic():
+    # a naive per-value expansion of this range would be ~10^6 terms;
+    # the trie cover must stay tiny
+    ranges = granular_ranges(1, 1_000_000)
+    assert len(ranges) <= 2 * (64 // PRECISION_STEP) * 2
+
+
+def test_numeric_terms_levels():
+    ts = numeric_terms(300)
+    assert len(ts) == 64 // PRECISION_STEP
+    assert len(set(ts)) == len(ts)
+    # lexicographic order within a level == numeric order
+    assert encode_numeric_term(5, 0) < encode_numeric_term(6, 0)
+    assert encode_numeric_term(-3, 0) < encode_numeric_term(2, 0)
+
+
+def test_granular_range_end_to_end(spark, tmp_path):
+    n = 300
+    rng = np.random.default_rng(9)
+    sizes = rng.integers(-500, 5000, size=n)
+    pdf = pd.DataFrame(
+        {
+            "repo": ["r"] * n,
+            "path": [f"p{i:04d}" for i in range(n)],
+            "commit": ["c"] * n,
+            "lang": ["t"] * n,
+            "content": [f"doc body tok{i % 7}" for i in range(n)],
+            "size": sizes,
+        }
+    )
+    d = str(tmp_path / "idx_num")
+    build_index(
+        spark, spark.createDataFrame(pdf), d, num_segments=2,
+        fields=[("content", "code"), ("size", "numeric")],
+    )
+    eng = SearchEngine(spark, d)
+    lo, hi = 100, 2500
+    got = sorted(
+        r["path"]
+        for r in eng.search(
+            GranularRange(field_name="size", min_val=lo, max_val=hi), k=None
+        ).collect()
+    )
+    want = sorted(pdf[(pdf["size"] >= lo) & (pdf["size"] <= hi)]["path"])
+    assert got == want
+    # conjunction with a content term: intersection, score = 0 + bm25
+    both = eng.search(
+        And(children=(TermF(term="tok3"),
+                      GranularRange(field_name="size", min_val=lo,
+                                    max_val=hi))),
+        k=None,
+    ).collect()
+    want_both = sorted(
+        pdf[(pdf["size"] >= lo) & (pdf["size"] <= hi)
+            & pdf["content"].str.contains("tok3")]["path"]
+    )
+    assert sorted(r["path"] for r in both) == want_both
