@@ -66,8 +66,17 @@ def segment_expr(num_segments: int):
     return F.pmod(F.crc32(key), F.lit(num_segments)).cast("int")
 
 
-def assign_doc_ids(corpus: DataFrame, num_segments: int) -> DataFrame:
-    w = Window.partitionBy("segment_id").orderBy("repo", "path", "commit")
+def assign_doc_ids(
+    corpus: DataFrame, num_segments: int,
+    sort_by: list[str] | None = None,
+) -> DataFrame:
+    """Dense per-segment doc ids. ``sort_by`` is the PLUGGABLE primary sort
+    (the reference's sorted-index comparator, `core/index/comparer.hpp`):
+    doc ids ascend by these columns within each segment, with the identity
+    triple appended as tiebreak so assignment stays a total order
+    (determinism/resume invariant)."""
+    order = list(sort_by or []) + ["repo", "path", "commit"]
+    w = Window.partitionBy("segment_id").orderBy(*order)
     return corpus.withColumn("segment_id", segment_expr(num_segments)).withColumn(
         "doc_id", F.row_number().over(w)
     )
@@ -514,12 +523,15 @@ def build_index(
     jvm_tokenize: bool | None = None,
     verify_dictionary: bool = True,
     fields: list[tuple[str, str]] | None = None,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Build (or resume) the index; returns build metrics.
 
     ``fields`` = [(source_column, analyzer), ...] indexes several fields per
     doc (title+body+path in the reference, `segment_writer.hpp:91-119`); the
     first entry is the primary field and overrides ``field``/``analyzer``.
+    ``sort_by`` = primary-sort columns (sorted index, comparer.hpp): doc
+    ids ascend by these within each segment.
     ``fail_after_waves`` injects a driver-side failure after N committed waves
     (for the resume test, FIXTURES.md F6).
     """
@@ -534,7 +546,7 @@ def build_index(
     # the two consumers (docmeta write, invert kernel) and per-wave scans
     # reuse it instead of recomputing the upstream lineage. At 100 TB this
     # becomes a staging-table write (same role: pay the exchange once).
-    docs = assign_doc_ids(corpus, num_segments).persist(
+    docs = assign_doc_ids(corpus, num_segments, sort_by).persist(
         StorageLevel.MEMORY_AND_DISK
     )
 
@@ -597,6 +609,7 @@ def build_index(
                 with_positions=with_positions,
                 segments=sorted(seg_records.values(), key=lambda s: s["segment_id"]),
                 fields=[[n, a] for n, a in fields] if len(fields) > 1 else None,
+                sort=list(sort_by) if sort_by else None,
             ),
         )
         committed_waves += 1

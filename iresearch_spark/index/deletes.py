@@ -78,6 +78,7 @@ def mark_deleted(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
             with_positions=man.with_positions,
             segments=segs,
             fields=man.fields,
+            sort=man.sort,
         ),
     )
     return n_new

@@ -31,6 +31,9 @@ class Manifest:
     # all indexed fields as [name, analyzer] pairs (reference indexes N
     # fields per doc, segment_writer.hpp:91-119); None == legacy single-field
     fields: list[list[str]] | None = None
+    # primary-sort columns (sorted index, core/index/comparer.hpp); merge
+    # concatenates sorted runs without a global re-sort (documented deviation)
+    sort: list[str] | None = None
 
     def field_specs(self) -> list[tuple[str, str]]:
         if self.fields:
@@ -48,6 +51,8 @@ class Manifest:
         }
         if self.fields is not None:
             payload["fields"] = self.fields
+        if self.sort is not None:
+            payload["sort"] = self.sort
         return json.dumps(payload, sort_keys=True, separators=(",", ":")) + "\n"
 
 
@@ -79,6 +84,7 @@ def read_manifest(index_dir: str) -> Manifest | None:
         with_positions=d["with_positions"],
         segments=d["segments"],
         fields=d.get("fields"),
+        sort=d.get("sort"),
     )
 
 

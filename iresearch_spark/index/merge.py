@@ -397,6 +397,7 @@ def merge_segments(
             with_positions=man.with_positions,
             segments=new_segments,
             fields=man.fields,
+            sort=man.sort,
         ),
     )
     if cleanup:

@@ -130,6 +130,7 @@ class IncrementalIndexer:
                 with_positions=m.with_positions,
                 segments=sorted(live.values(), key=lambda s: s["segment_id"]),
                 fields=m.fields,
+                sort=m.sort,
             ),
         )
         return {

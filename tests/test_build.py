@@ -156,3 +156,33 @@ def test_text_analyzer_build_drops_stopwords(spark, tmp_path):
     eng = SearchEngine(spark, d)
     hits = eng.search(TermF(term="fox"), k=10).collect()
     assert len(hits) == 2
+
+
+def test_pluggable_primary_sort(spark, tmp_path):
+    """sort_by orders doc ids within each segment by the given columns
+    (sorted index, comparer.hpp); ranks are unchanged vs the default
+    order (scores are doc-id independent)."""
+    from iresearch_spark.corpus import generate_corpus
+    from iresearch_spark.index.manifest import read_manifest
+    from iresearch_spark.search import SearchEngine, TermF
+
+    corpus = generate_corpus(spark, 150, num_partitions=2).cache()
+    d1, d2 = str(tmp_path / "sorted"), str(tmp_path / "plain")
+    build_index(spark, corpus, d1, num_segments=2, sort_by=["lang", "repo"])
+    build_index(spark, corpus, d2, num_segments=2)
+    assert read_manifest(d1).sort == ["lang", "repo"]
+    dm = spark.read.parquet(f"{d1}/docmeta").toPandas()
+    for _, g in dm.groupby("segment_id"):
+        g = g.sort_values("doc_id")
+        keys = list(zip(g["lang"], g["repo"], g["path"]))
+        assert keys == sorted(keys)
+    r1 = [
+        (r["repo"], r["path"], r["score"])
+        for r in SearchEngine(spark, d1).search(TermF(term="import"), k=10).collect()
+    ]
+    r2 = [
+        (r["repo"], r["path"], r["score"])
+        for r in SearchEngine(spark, d2).search(TermF(term="import"), k=10).collect()
+    ]
+    assert {x[:2] for x in r1} == {x[:2] for x in r2}
+    corpus.unpersist()
