@@ -251,6 +251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, Fuzzy(term="sprak", max_distance=1, with_transpositions=True)
     )
     q["ft_phrase"] = lambda s, d: _ft(s, d, Phrase(terms=("fast", "key")))
+    # high-df phrase: both terms hit ~78% of docs — exercises the flat
+    # vectorized position verify at its worst case (no per-doc Python)
+    q["ft_phrase_hot"] = lambda s, d: _ft(
+        s, d, Phrase(terms=("stream", "data"))
+    )
     # same_position with a repeated term: pf == tf, idf counted per slot
     # (by_same_position, core/search/same_position_filter.cpp)
     from iresearch_spark.search import SamePosition
@@ -582,7 +587,8 @@ JOIN ls USING (doc_id)
 WHERE sc.term = 'window'
 GROUP BY sc.doc_id
 """
-    o["ft_phrase"] = f"""
+    def _phrase_sql(t1: str, t2: str) -> str:
+        return f"""
 WITH pos AS (
   SELECT doc_id,
          unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term,
@@ -596,7 +602,7 @@ stats AS (
 ),
 df AS (
   SELECT term, count(DISTINCT doc_id) AS df FROM pos
-  WHERE term IN ('fast', 'key') GROUP BY term
+  WHERE term IN ('{t1}', '{t2}') GROUP BY term
 ),
 idf AS (
   SELECT sum(ln(1.0 + ((s.n - df.df) + 0.5) / (df.df + 0.5))) AS idf_sum
@@ -605,7 +611,7 @@ idf AS (
 m AS (
   SELECT a.doc_id, count(*) AS pf
   FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-  WHERE a.term = 'fast' AND b.term = 'key'
+  WHERE a.term = '{t1}' AND b.term = '{t2}'
   GROUP BY a.doc_id
 )
 SELECT m.doc_id,
@@ -621,6 +627,9 @@ JOIN dl USING (doc_id)
 CROSS JOIN stats s
 CROSS JOIN idf i
 """
+
+    o["ft_phrase"] = _phrase_sql("fast", "key")
+    o["ft_phrase_hot"] = _phrase_sql("stream", "data")
     o["ft_tfidf"] = f"""
 WITH tok AS (
   SELECT doc_id,

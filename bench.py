@@ -77,9 +77,11 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     qs = entry_mod.queries()
     headline = [
         "ft_term_topk", "ft_disjunction", "ft_conjunction", "ft_minmatch",
-        "ft_phrase", "ft_prefix", "ft_fuzzy", "ft_wildcard", "ft_range",
-        "dedup_exact", "dedup_minhash_lsh", "text_token_stats",
-        "ann_cosine_topk", "ann_lsh_topk",
+        "ft_phrase", "ft_phrase_hot", "ft_prefix", "ft_fuzzy",
+        "ft_fuzzy_transpose", "ft_wildcard", "ft_range",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
+        "dedup_ngram_jaccard", "text_token_stats",
+        "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     ]
     q_times: dict[str, float] = {}
     for name in headline:
