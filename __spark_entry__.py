@@ -364,7 +364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- training-data pipeline ops
     q["dedup_exact"] = lambda s, d: exact_dedup(_docs(s, d))
-    q["dedup_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(_docs(s, d), 0.05)
+    # threshold 0.5: the realistic near-dup setting — and the prefix filter's
+    # strength scales with t (prefix length = n - ceil(t*n) + 1), so a tiny t
+    # would degenerate to the naive quadratic gram join at scale
+    q["dedup_ngram_jaccard"] = lambda s, d: ngram_jaccard_pairs(_docs(s, d), 0.5)
     q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(_docs(s, d), 64, 16, 0.05)
     q["dedup_simhash"] = lambda s, d: simhash_signatures(_docs(s, d))
     # banded Hamming-ball candidate join over the signatures (rows-only:
@@ -465,6 +468,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["evt_json_extract"] = evt_json_extract
+
+    # --- gap-based sessionization + as-of join (training-pipeline
+    # event-time operators; one shuffle on user_id, JVM window functions)
+    from iresearch_spark.pipeline.events import (
+        asof_join_last_event,
+        sessionize,
+    )
+
+    def evt_sessionize(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet")
+        return sessionize(ev, gap_minutes=30)
+
+    q["evt_sessionize"] = evt_sessionize
+
+    def evt_asof_join(s, d):
+        ev = s.read.parquet(f"{d}/events.parquet")
+        return asof_join_last_event(
+            ev, target_type="error", source_type="click"
+        )
+
+    q["evt_asof_join"] = evt_asof_join
 
     # --- multimodal: binary payload columns + typed meta (stub codec)
     from iresearch_spark.pipeline.multimodal import (
@@ -738,7 +762,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(i / (sa.n + sb.n - i)::DOUBLE, 4) >= 0.05
+WHERE round(i / (sa.n + sb.n - i)::DOUBLE, 4) >= 0.5
 """
     o["text_token_stats"] = f"""
 SELECT doc_id,
@@ -861,6 +885,41 @@ GROUP BY 1, 2
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
 FROM events
 WHERE CAST(json_extract_string(props, '$.k') AS INT) % 7 = 0
+"""
+    o["evt_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_num
+  FROM flagged
+)
+SELECT user_id, CAST(session_num AS BIGINT) AS session_num,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       round(sum(value), 2) AS sum_value
+FROM sess
+GROUP BY user_id, session_num
+"""
+    o["evt_asof_join"] = """
+SELECT t.event_id, t.user_id,
+       strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS last_src_ts
+FROM (SELECT CAST(event_id AS BIGINT) AS event_id, user_id, ts
+      FROM events WHERE event_type = 'error') t
+ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                WHERE event_type = 'click') s
+  ON t.user_id = s.user_id AND t.ts >= s.ts
 """
     o["mm_decode_meta"] = """
 WITH a AS (

@@ -41,27 +41,32 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _trigrams():
-    t = _tokens()
-    n = F.size(t)
+def _gram_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, bucket, grams array, n_grams) — one row per doc.
+
+    The token array is materialized as a NAMED column in its own projection
+    before the trigram transform references it: inlining the regexp
+    expression next to ``transform`` makes Catalyst re-evaluate the tokenize
+    per produced element (measured ~10x on this exact shape — same trap the
+    index build hit, see build.py)."""
+    toks = docs.select(
+        "doc_id", F.col("source").alias("bucket"), _tokens().alias("toks")
+    )
+    n = F.size("toks")
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(0)))
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+                " ",
+                F.element_at("toks", i),
+                F.element_at("toks", i + 1),
+                F.element_at("toks", i + 2),
             ),
         )
     )
-
-
-def _ngram_flat(docs: DataFrame) -> DataFrame:
-    """(doc_id, bucket, n_grams, gram) — one row per distinct trigram."""
-    g = docs.select(
-        "doc_id", F.col("source").alias("bucket"), _trigrams().alias("grams")
-    ).withColumn("n_grams", F.size("grams"))
-    return g.select(
-        "doc_id", "bucket", "n_grams", F.explode("grams").alias("gram")
+    return toks.select("doc_id", "bucket", grams.alias("grams")).withColumn(
+        "n_grams", F.size("grams")
     )
 
 
@@ -72,7 +77,9 @@ def _ngram_candidates(flat: DataFrame, threshold: float) -> DataFrame:
     (a qualifying pair shares a prefix gram under any fixed global order),
     and a universal boilerplate gram — df == corpus size — falls OUT of
     every non-trivial prefix, killing the O(df^2) hot-gram join blowup
-    that the naive gram join suffers at scale."""
+    that the naive gram join suffers at scale. A PPJoin length filter
+    (Jaccard >= t forces t·|B| <= |A| for |A| <= |B|) prunes cross-size
+    pairs inside the join condition before any verification."""
     from pyspark.sql import Window
 
     # the global order only has to be FIXED, not dense: (df, gram) is a
@@ -86,16 +93,22 @@ def _ngram_candidates(flat: DataFrame, threshold: float) -> DataFrame:
         flat.join(gram_df, "gram")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "bucket", "gram")
+        .select("doc_id", "bucket", "gram", "n_grams")
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    t = F.lit(float(threshold))
     return (
         a.join(
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: min(na,nb) >= t * max(na,nb)
+            & (
+                F.least(F.col("a.n_grams"), F.col("b.n_grams"))
+                >= t * F.greatest(F.col("a.n_grams"), F.col("b.n_grams"))
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -110,38 +123,39 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.15) -> DataFrame:
     ``source`` bucket (the deterministic candidate rule, SQL-expressible).
     Returns pairs with jaccard >= threshold. Candidates come from the
     prefix filter (:func:`_ngram_candidates`); the exact intersection is
-    then counted only for surviving pairs."""
-    flat = _ngram_flat(docs)
+    then computed only for surviving pairs with one ``array_intersect``
+    per pair (no second gram explode/shuffle).
+
+    The tokenized gram table is persisted for the run: it feeds the df
+    counts, the prefix rows, and both verify sides — without the cache the
+    regexp tokenize + trigram transform lineage re-runs four times. At real
+    scale this persist is a parquet staging write."""
+    gram_sets = _gram_sets(docs).persist()
+    flat = gram_sets.select(
+        "doc_id", "bucket", "n_grams", F.explode("grams").alias("gram")
+    )
     cand = _ngram_candidates(flat, threshold)
-    sizes = flat.select("doc_id", "n_grams").dropDuplicates(["doc_id"])
-    fa = flat.select(
-        F.col("doc_id").alias("doc_a"), F.col("gram").alias("gram")
+    ga = gram_sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n_grams").alias("na"),
     )
-    fb = flat.select(
-        F.col("doc_id").alias("doc_b"), F.col("gram").alias("gram")
+    gb = gram_sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n_grams").alias("nb"),
     )
-    inter = (
-        cand.join(fa, "doc_a")
-        .join(fb, ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb")
-            ),
-            "doc_b",
-        )
+    inter_n = F.size(F.array_intersect("grams_a", "grams_b"))
+    jac = inter_n / (F.col("na") + F.col("nb") - inter_n).cast("double")
+    result = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")
-    return inter.select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
-    ).filter(F.round(jac, 4) >= threshold)
+    result = result.localCheckpoint(eager=True)
+    gram_sets.unpersist(blocking=False)
+    return result
 
 
 def _hash_tokens_u64(tokens: np.ndarray) -> np.ndarray:
@@ -350,7 +364,9 @@ def simhash_pairs(
         raise ValueError(
             f"bands={bands} only guarantees recall for hamming <= {bands - 1}"
         )
-    sig = simhash_signatures(docs)
+    # both sides of the self-join read the signatures — persist so the
+    # tokenize+vote kernel runs once, not once per side
+    sig = simhash_signatures(docs).persist()
     width = 64 // bands
     mask = (1 << width) - 1
     slices = F.array(
@@ -367,7 +383,7 @@ def simhash_pairs(
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
-    return (
+    result = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -382,3 +398,6 @@ def simhash_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    result = result.localCheckpoint(eager=True)
+    sig.unpersist(blocking=False)
+    return result

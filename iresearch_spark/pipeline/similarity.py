@@ -114,7 +114,8 @@ def train_ivf_centroids(
     )
     cents = np.array([list(r["embedding"]) for r in seed_rows], dtype=np.float64)
     sc = emb.sparkSession.sparkContext
-    src = emb.select("embedding")
+    # every Lloyd iteration scans the vectors — persist across iterations
+    src = emb.select("embedding").persist()
     for _ in range(iters):
         bc = sc.broadcast(cents)
 
@@ -150,6 +151,7 @@ def train_ivf_centroids(
         new[nz] = tot[nz] / cnt[nz, None]
         cents = new
         bc.unpersist()
+    src.unpersist(blocking=False)
     return cents
 
 
@@ -232,30 +234,51 @@ def lsh_ann_topk(
     deterministic). Join on bucket bounds candidate count; exact cosine +
     row_number picks top-k within candidates.
     """
+    probes = min(probes, bits + 1)
     H = _hyperplanes(dim, bits)
-    hp = [F.array(*[F.lit(float(v)) for v in row]) for row in H]
+    bc = emb.sparkSession.sparkContext.broadcast(H)
 
-    def bucket_of(vec):
-        b = F.lit(0)
-        for i, plane in enumerate(hp):
-            b = b + F.when(_dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        return b
+    def _margins(embedding: pd.Series) -> np.ndarray:
+        X = np.stack(embedding.to_numpy()).astype(np.float64)
+        return X @ bc.value.T  # (n, bits) signed margins
+
+    # one matmul per Arrow batch instead of ``bits`` chained Catalyst
+    # aggregate-expressions per row (which dominated the scan cost)
+    @F.pandas_udf("int")
+    def bucket_of(embedding: pd.Series) -> pd.Series:
+        if embedding.empty:
+            return pd.Series([], dtype="int32")
+        M = _margins(embedding)
+        w = (1 << np.arange(bits, dtype=np.int64))[None, :]
+        return pd.Series(((M >= 0) * w).sum(axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe_buckets(embedding: pd.Series) -> pd.Series:
+        """Own bucket + ``probes-1`` single-bit flips by ascending |margin|
+        (multiprobe LSH: the least-confident bits are the likeliest to
+        differ for true neighbours)."""
+        if embedding.empty:
+            return pd.Series([], dtype=object)
+        M = _margins(embedding)
+        w = 1 << np.arange(bits, dtype=np.int64)
+        own = ((M >= 0) * w[None, :]).sum(axis=1)
+        flip_order = np.argsort(np.abs(M), axis=1, kind="stable")
+        out = np.empty((M.shape[0], probes), dtype=np.int64)
+        out[:, 0] = own
+        for j in range(1, probes):
+            out[:, j] = own ^ w[flip_order[:, j - 1]]
+        return pd.Series(list(out.astype(np.int32)))
 
     c = emb.select(
         F.col("vec_id").alias("cid"),
         F.col("embedding").alias("cv"),
         bucket_of(F.col("embedding")).alias("bucket"),
     )
-    q0 = emb.filter(query_pred).select(
+    q = emb.filter(query_pred).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
-        bucket_of(F.col("embedding")).alias("qbucket"),
+        F.explode(probe_buckets(F.col("embedding"))).alias("bucket"),
     )
-    # probe buckets: own bucket + single-bit flips 0..probes-2
-    probe_list = [F.col("qbucket")] + [
-        F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(max(0, probes - 1))
-    ]
-    q = q0.select("qid", "qv", F.explode(F.array(*probe_list)).alias("bucket"))
     cos = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
     scored = (
         q.join(c, "bucket")
