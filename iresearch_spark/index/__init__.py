@@ -12,5 +12,10 @@ from iresearch_spark.index.deletes import (  # noqa: F401
 from iresearch_spark.index.merge import (  # noqa: F401
     consolidate,
     merge_segments,
+    plan_bytes,
+    plan_bytes_accum,
+    plan_count,
+    plan_docs_fill,
+    plan_docs_live,
     plan_tier,
 )

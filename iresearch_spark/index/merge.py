@@ -85,6 +85,77 @@ def plan_tier(
     return sorted(best[1]) if best else []
 
 
+def _live(s: dict) -> int:
+    return int(s.get("docs") or 0) - int(s.get("deleted_docs") or 0)
+
+
+def plan_bytes(segments: list[dict], threshold: float = 0.5) -> list[int]:
+    """ConsolidateBytes (`index_utils.cpp:52-82`): merge a segment if
+    ``threshold > segment_bytes / (all_segment_bytes / #segments)`` — i.e.
+    everything smaller than ``threshold`` x the average segment size."""
+    if not segments:
+        return []
+    t = min(max(float(threshold), 0.0), 1.0)
+    avg = sum(s["postings_bytes"] for s in segments) / len(segments)
+    return sorted(
+        s["segment_id"] for s in segments if avg * t >= s["postings_bytes"]
+    )
+
+
+def plan_bytes_accum(segments: list[dict], threshold: float = 0.5) -> list[int]:
+    """ConsolidateBytesAccum (`index_utils.cpp:84-122`): smallest-first
+    greedy pack while ``(candidate_bytes_sum) <= threshold *
+    all_segment_bytes``; sizes are live-scaled (SizeWithoutRemovals)."""
+    t = min(max(float(threshold), 0.0), 1.0)
+    sized = []
+    for s in segments:
+        docs = int(s.get("docs") or 0)
+        scale = (_live(s) / docs) if docs else 1.0
+        sized.append((s["postings_bytes"] * scale, s["segment_id"]))
+    budget = sum(sz for sz, _ in sized) * t
+    acc, out = 0.0, []
+    for sz, sid in sorted(sized):
+        if acc + sz <= budget:
+            acc += sz
+            out.append(sid)
+    return sorted(out)
+
+
+def plan_count(segments: list[dict], threshold: int | None = None) -> list[int]:
+    """ConsolidateCount (`index_utils.cpp:124-134`): merge the first
+    ``threshold`` segments in reader order (ascending segment_id)."""
+    ids = sorted(s["segment_id"] for s in segments)
+    return ids if threshold is None else ids[: int(threshold)]
+
+
+def plan_docs_live(segments: list[dict], threshold: float = 0.5) -> list[int]:
+    """ConsolidateDocsLive (`index_utils.cpp:159-`): merge a segment if
+    ``threshold >= live_docs / (all_live_docs / #segments)`` — small-by-live
+    -docs segments, plus fully-dead ones unconditionally."""
+    if not segments:
+        return []
+    t = min(max(float(threshold), 0.0), 1.0)
+    avg = sum(_live(s) for s in segments) / len(segments)
+    return sorted(
+        s["segment_id"]
+        for s in segments
+        if _live(s) == 0 or avg * t >= _live(s)
+    )
+
+
+def plan_docs_fill(segments: list[dict], threshold: float = 0.5) -> list[int]:
+    """ConsolidateDocsFill (`index_utils.cpp:136-157`): merge a segment if
+    ``threshold >= live_docs / total_docs`` (fill factor), plus fully-dead
+    segments unconditionally."""
+    t = min(max(float(threshold), 0.0), 1.0)
+    out = []
+    for s in segments:
+        docs = int(s.get("docs") or 0)
+        if _live(s) == 0 or (docs and docs * t >= _live(s)):
+            out.append(s["segment_id"])
+    return sorted(out)
+
+
 def merge_segments(
     spark: SparkSession,
     index_dir: str,
@@ -431,14 +502,30 @@ def merge_segments(
     }
 
 
+#: ConsolidationPolicy registry (`index_utils.cpp` MakePolicy overloads).
+POLICIES = {
+    "tier": plan_tier,
+    "bytes": plan_bytes,
+    "bytes_accum": plan_bytes_accum,
+    "count": plan_count,
+    "docs_live": plan_docs_live,
+    "docs_fill": plan_docs_fill,
+}
+
+
 def consolidate(
-    spark: SparkSession, index_dir: str, max_rounds: int = 10, **tier_kwargs
+    spark: SparkSession,
+    index_dir: str,
+    max_rounds: int = 10,
+    policy: str = "tier",
+    **policy_kwargs,
 ) -> list[dict]:
-    """Run tier-policy merges until no candidate batch remains."""
+    """Run merges under the named policy until no candidate batch remains."""
+    plan = POLICIES[policy]
     out = []
     for _ in range(max_rounds):
         man = read_manifest(index_dir)
-        batch = plan_tier(man.segments, **tier_kwargs)
+        batch = plan(man.segments, **policy_kwargs)
         if not batch or len(batch) < 2:
             break
         out.append(merge_segments(spark, index_dir, batch))

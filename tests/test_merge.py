@@ -103,3 +103,53 @@ def test_merge_hot_term_solo_bucket(spark, tmp_path):
     assert m1["content_hash"] == m2["content_hash"]
     assert m1["terms"] == m2["terms"]
     assert m1["postings_bytes"] == m2["postings_bytes"]
+
+
+def _seg(sid, bytes_, docs=100, deleted=0):
+    return {
+        "segment_id": sid,
+        "postings_bytes": bytes_,
+        "docs": docs,
+        "deleted_docs": deleted,
+    }
+
+
+def test_plan_bytes_below_avg_threshold():
+    from iresearch_spark.index.merge import plan_bytes
+
+    segs = [_seg(0, 100), _seg(1, 100), _seg(2, 1000)]  # avg = 400
+    assert plan_bytes(segs, 0.5) == [0, 1]  # 0.5*400=200 >= 100
+    assert plan_bytes(segs, 0.1) == []      # 40 < 100
+
+
+def test_plan_bytes_accum_smallest_first_budget():
+    from iresearch_spark.index.merge import plan_bytes_accum
+
+    segs = [_seg(0, 500), _seg(1, 100), _seg(2, 400)]  # total 1000
+    # budget 0.5*1000=500: takes 100 then 400, 500 over budget after
+    assert plan_bytes_accum(segs, 0.5) == [1, 2]
+    # live-scaling: half-deleted big segment weighs 250, fits with 100
+    segs2 = [_seg(0, 500, docs=100, deleted=50), _seg(1, 100), _seg(2, 400)]
+    assert plan_bytes_accum(segs2, 0.5) == [0, 1]
+
+
+def test_plan_count_first_n():
+    from iresearch_spark.index.merge import plan_count
+
+    segs = [_seg(2, 1), _seg(0, 1), _seg(1, 1)]
+    assert plan_count(segs, 2) == [0, 1]
+    assert plan_count(segs) == [0, 1, 2]
+
+
+def test_plan_docs_live_and_fill():
+    from iresearch_spark.index.merge import plan_docs_fill, plan_docs_live
+
+    segs = [
+        _seg(0, 1, docs=100, deleted=100),  # fully dead
+        _seg(1, 1, docs=100, deleted=60),   # live 40, fill 0.4
+        _seg(2, 1, docs=1000, deleted=0),   # live 1000, fill 1.0
+    ]
+    # avg live = (0+40+1000)/3 ~= 346.7; 0.5*avg = 173 >= 40 and >= 0
+    assert plan_docs_live(segs, 0.5) == [0, 1]
+    assert plan_docs_fill(segs, 0.5) == [0, 1]   # fill <= 0.5
+    assert plan_docs_fill(segs, 0.3) == [0]      # 0.4 > 0.3
