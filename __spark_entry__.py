@@ -89,6 +89,7 @@ def _engine_mf(spark: SparkSession, sf_dir: str):
                 ("content", "code"),
                 ("lang", "code"),
                 ("n_chars", "numeric"),
+                ("repo", "collation"),
             ],
         )
         _INDEX_CACHE[key] = idx
@@ -280,6 +281,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, GranularRange(field_name="n_chars", min_val=200, max_val=900),
         mf=True,
     )
+    # collation field (collation_token_stream.cpp sort key): the query term
+    # is the collation KEY of a cased/accented input, so 'SRC3' matches the
+    # 'src3' docs; single-token field -> dl=1, avgdl=1
+    def ft_collation(s, d):
+        import pandas as pd
+
+        from iresearch_spark.analysis.analyzers import collation_analyzer
+
+        key = collation_analyzer(pd.Series(["SRC3"]))[0][0]
+        return _ft(s, d, TermF(field_name="repo", term=key), mf=True)
+
+    q["ft_collation"] = ft_collation
+
     # `text` analyzer (snowball stem + stopwords): 'queri' is the stem of
     # 'query'; dl excludes stopwords; oracle replicates the stem map in SQL
     q["ft_text_stem"] = lambda s, d: _ft(
@@ -611,6 +625,22 @@ JOIN ls USING (doc_id)
 WHERE sc.term = 'window'
 GROUP BY sc.doc_id
 """
+    # collation key equality (simplified primary strength: lower +
+    # strip_accents, see collation_analyzer); single-token field => tf=1,
+    # dl=1, avgdl=1, so lc1 = (1.2 - 1.2*0.75) + 1.2*0.75 = 1.2
+    o["ft_collation"] = """
+WITH stats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+df AS (
+  SELECT count(*)::DOUBLE AS df FROM documents
+  WHERE lower(strip_accents(source)) = lower(strip_accents('SRC3'))
+)
+SELECT d.doc_id,
+       round(((1.2 + 1.0) * ln(1.0 + ((s.n - f.df) + 0.5) / (f.df + 0.5)))
+             * (1.0 - 1.2 / (1.2 + 1.0)), 4) AS score
+FROM documents d CROSS JOIN stats s CROSS JOIN df f
+WHERE lower(strip_accents(d.source)) = lower(strip_accents('SRC3'))
+"""
+
     def _phrase_sql(t1: str, t2: str) -> str:
         return f"""
 WITH pos AS (

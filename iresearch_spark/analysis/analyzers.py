@@ -150,6 +150,47 @@ def multi_delimiter_analyzer(
     return s.fillna("").map(lambda x: [t for t in rx.split(x) if t])
 
 
+def collation_analyzer(s: pd.Series, locale: str = "en") -> pd.Series:
+    """Whole input -> one token: its collation sort key
+    (`collation_token_stream.cpp:277` icu::Collator::getSortKey).
+
+    With PyICU installed the real ICU sort key is emitted (hex-encoded so it
+    stays a valid dictionary string). Without ICU (this environment) we fall
+    back to a SIMPLIFIED primary-strength key — case-folded, accent-stripped
+    codepoint order — which matches ICU primary strength for Latin-script
+    text and is expressible in DuckDB (``lower(strip_accents(x))``) for
+    oracle parity. Equal-under-collation strings map to equal tokens and
+    keys sort in collation order; locale-specific tailoring (e.g. sv 'å' >
+    'z') needs real ICU."""
+    try:
+        import icu  # PyICU, optional
+
+        coll = icu.Collator.createInstance(icu.Locale(locale))
+        return s.fillna("").map(
+            lambda x: [coll.getSortKey(x).hex()]
+        )
+    except ImportError:
+        from iresearch_spark.analysis.stem import strip_accents
+
+        return s.fillna("").str.lower().map(lambda x: [strip_accents(x)])
+
+
+def classification_analyzer(s: pd.Series, **options) -> pd.Series:
+    """Top-k model labels for the whole input (`classification_stream.cpp`);
+    see iresearch_spark.analysis.ml for the model-provider hook."""
+    from iresearch_spark.analysis.ml import classification_analyzer as fn
+
+    return fn(s, **options)
+
+
+def nearest_neighbors_analyzer(s: pd.Series, **options) -> pd.Series:
+    """Per-token top-k nearest-neighbor expansion
+    (`nearest_neighbors_stream.cpp`); see iresearch_spark.analysis.ml."""
+    from iresearch_spark.analysis.ml import nearest_neighbors_analyzer as fn
+
+    return fn(s, **options)
+
+
 def numeric_analyzer(s: pd.Series) -> pd.Series:
     """Numeric trie token stream (token_streams.hpp:118-250); see
     iresearch_spark.search.numeric."""
@@ -170,6 +211,9 @@ ANALYZERS: dict[str, Analyzer] = {
     "text": text_analyzer,
     "stem": stem_analyzer,
     "stopwords": stopwords_analyzer,
+    "collation": collation_analyzer,
+    "classification": classification_analyzer,
+    "nearest_neighbors": nearest_neighbors_analyzer,
 }
 
 

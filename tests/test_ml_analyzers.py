@@ -1,0 +1,70 @@
+"""Collation, classification, and nearest_neighbors analyzers.
+
+Reference semantics: `collation_token_stream.cpp:277` (one token = ICU sort
+key), `classification_stream.cpp` (top-k labels per input line),
+`nearest_neighbors_stream.cpp:234-257` (per-word top-k NN expansion). The
+model-backed pair goes through the reference's model-provider hook
+(`classification_stream.cpp:43`); tests register the deterministic
+HashModel stand-in.
+"""
+
+import pandas as pd
+import pytest
+
+from iresearch_spark.analysis.analyzers import (
+    collation_analyzer,
+    get_analyzer,
+    tokenize_series,
+)
+from iresearch_spark.analysis.ml import HashModel, set_model_provider
+
+
+def test_collation_equal_under_case_and_accents():
+    s = pd.Series(["Résumé", "resume", "RESUME", "café"])
+    out = collation_analyzer(s).tolist()
+    assert out[0] == out[1] == out[2] == ["resume"]
+    assert out[3] == ["cafe"]
+
+
+def test_collation_keys_sort_in_collation_order():
+    words = ["Banana", "äpple", "apple", "Cherry"]
+    keys = [t[0] for t in collation_analyzer(pd.Series(words))]
+    ranked = [w for _, w in sorted(zip(keys, words))]
+    assert ranked[:2] == ["apple", "äpple"] or ranked[:2] == ["äpple", "apple"]
+    assert ranked[2:] == ["Banana", "Cherry"]
+
+
+def test_classification_top_k_labels_deterministic():
+    prev = set_model_provider(lambda loc: HashModel(("__label__x", "__label__y")))
+    try:
+        s = pd.Series(["some document text", "another one"])
+        out1 = get_analyzer("classification", top_k=2)(s).tolist()
+        out2 = get_analyzer("classification", top_k=2)(s).tolist()
+        assert out1 == out2
+        assert all(sorted(t) == ["__label__x", "__label__y"] for t in out1)
+        top1 = get_analyzer("classification", top_k=1)(s).tolist()
+        assert [t[0] for t in out1] == [t[0] for t in top1]
+    finally:
+        set_model_provider(prev)
+
+
+def test_nearest_neighbors_expands_each_word():
+    prev = set_model_provider(lambda loc: HashModel())
+    try:
+        s = pd.Series(["alpha beta", ""])
+        out = get_analyzer("nearest_neighbors", top_k=2)(s).tolist()
+        assert out[0] == ["alpha~0", "alpha~1", "beta~0", "beta~1"]
+        assert out[1] == []
+    finally:
+        set_model_provider(prev)
+
+
+def test_model_analyzers_raise_without_provider():
+    prev = set_model_provider(None)
+    try:
+        with pytest.raises(NotImplementedError):
+            tokenize_series(pd.Series(["x"]), "classification")
+        with pytest.raises(NotImplementedError):
+            tokenize_series(pd.Series(["x"]), "nearest_neighbors")
+    finally:
+        set_model_provider(prev)
