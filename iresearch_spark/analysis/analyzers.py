@@ -191,6 +191,39 @@ def nearest_neighbors_analyzer(s: pd.Series, **options) -> pd.Series:
     return fn(s, **options)
 
 
+def minhash_analyzer(
+    s: pd.Series, num_hashes: int = 64, analyzer: str = "code"
+) -> pd.Series:
+    """Bottom-k MinHash signature tokens over a sub-analyzer's output
+    (`minhash_token_stream.cpp:396-419 ComputeSignature`): hash every token
+    to u64, keep the ``num_hashes`` smallest DISTINCT values, emit each as
+    an unpadded base64 of the little-endian hash (`next()` at :368-385).
+    Deviation (documented): token hash is our crc-mix u64 (dedup module),
+    not CityHash64 — same bottom-k semantics, different literal tokens.
+    Position fidelity: the reference emits all signature tokens at one
+    position (increment 0); ours are consecutive ordinals."""
+    import base64
+
+    import numpy as np
+
+    from iresearch_spark.pipeline.dedup import _hash_tokens_u64
+
+    sub = get_analyzer(analyzer)
+
+    def sig(ts: list[str]) -> list[str]:
+        if not ts:
+            return []
+        h = np.unique(_hash_tokens_u64(np.asarray(ts, dtype=object)))
+        return [
+            base64.b64encode(
+                np.uint64(v).astype("<u8").tobytes()
+            ).decode().rstrip("=")
+            for v in h[:num_hashes]
+        ]
+
+    return sub(s).map(sig)
+
+
 def numeric_analyzer(s: pd.Series) -> pd.Series:
     """Numeric trie token stream (token_streams.hpp:118-250); see
     iresearch_spark.search.numeric."""
@@ -211,6 +244,7 @@ ANALYZERS: dict[str, Analyzer] = {
     "text": text_analyzer,
     "stem": stem_analyzer,
     "stopwords": stopwords_analyzer,
+    "minhash": minhash_analyzer,
     "collation": collation_analyzer,
     "classification": classification_analyzer,
     "nearest_neighbors": nearest_neighbors_analyzer,

@@ -68,3 +68,27 @@ def test_model_analyzers_raise_without_provider():
             tokenize_series(pd.Series(["x"]), "nearest_neighbors")
     finally:
         set_model_provider(prev)
+
+
+def test_minhash_bottom_k_signature():
+    import numpy as np
+
+    from iresearch_spark.analysis.analyzers import minhash_analyzer
+    from iresearch_spark.pipeline.dedup import _hash_tokens_u64
+
+    text = " ".join(f"tok{i}" for i in range(100))
+    s = pd.Series([text, " ".join(reversed(text.split())), "one two", ""])
+    out = minhash_analyzer(s, num_hashes=8).tolist()
+    assert len(out[0]) == 8
+    assert out[0] == out[1]  # order-invariant (set semantics)
+    assert len(out[2]) == 2  # fewer distinct tokens than k
+    assert out[3] == []
+    # tokens are the base64 of the 8 smallest distinct hashes
+    h = np.unique(_hash_tokens_u64(np.asarray(text.split(), dtype=object)))
+    import base64
+
+    expect = [
+        base64.b64encode(np.uint64(v).astype("<u8").tobytes()).decode().rstrip("=")
+        for v in h[:8]
+    ]
+    assert out[0] == expect
