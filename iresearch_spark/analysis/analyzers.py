@@ -52,11 +52,41 @@ def delimiter_analyzer(s: pd.Series, delimiter: str = ",") -> pd.Series:
     return s.fillna("").str.split(delimiter)
 
 
-def ngram_analyzer(s: pd.Series, n_min: int = 3, n_max: int = 3) -> pd.Series:
+def ngram_analyzer(
+    s: pd.Series,
+    n_min: int = 3,
+    n_max: int = 3,
+    preserve_original: bool = False,
+    start_marker: str = "",
+    end_marker: str = "",
+) -> pd.Series:
+    """Char n-grams in [n_min, n_max] (`ngram_token_stream.hpp:45-67`):
+    ``preserve_original`` additionally emits the whole input;
+    ``start_marker``/``end_marker`` prefix grams anchored at the start of
+    the input / suffix grams anchored at its end (edge-ngram markers).
+    Emission order follows the reference stream: by position, then gram
+    length ascending."""
+
     def grams(x: str) -> list[str]:
         out = []
-        for n in range(n_min, n_max + 1):
-            out.extend(x[i : i + n] for i in range(len(x) - n + 1))
+        for i in range(len(x)):
+            for n in range(n_min, n_max + 1):
+                if i + n > len(x):
+                    break
+                g = x[i : i + n]
+                if start_marker and i == 0:
+                    out.append(start_marker + g)
+                elif end_marker and i + n == len(x):
+                    out.append(g + end_marker)
+                else:
+                    out.append(g)
+        if preserve_original and (len(x) < n_min or len(x) > n_max):
+            tok = x
+            if start_marker:
+                tok = start_marker + tok
+            elif end_marker:
+                tok = tok + end_marker
+            out.append(tok)
         return out
 
     return s.fillna("").map(grams)
