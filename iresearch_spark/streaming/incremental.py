@@ -139,6 +139,40 @@ class IncrementalIndexer:
             "docs": sum(r["docs"] for r in recs.values()),
         }
 
+    def replace_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
+        """Document replacement (`index_writer.hpp:407 Replace`): insert the
+        batch as new segments, then tombstone every PRE-EXISTING version of
+        the batch's (repo, path) keys — the delete+insert pair the reference
+        runs as one commit.
+
+        Ours is two manifest generations (insert, then deletes), ordered
+        insert-first so a crash between them leaves duplicates visible,
+        never lost docs. Both halves are idempotent: a replayed batch id
+        skips the insert, and the tombstone step targets exactly the
+        docmeta rows whose (repo, path) is in the batch but whose commit is
+        not — re-running it is a no-op. Re-invoke after a crash to finish.
+        """
+        from iresearch_spark.index.build import DOCMETA_SCHEMA
+        from iresearch_spark.index.deletes import mark_deleted
+
+        res = self.process_batch(batch_df, batch_id)
+        dm = self.spark.read.schema(DOCMETA_SCHEMA).parquet(
+            f"{self.index_dir}/docmeta"
+        )
+        # no broadcast hint: micro-batches are usually small and AQE will
+        # pick broadcast itself; forcing it would break on a huge backfill
+        old = (
+            dm.join(batch_df.select("repo", "path").distinct(), ["repo", "path"])
+            .join(
+                batch_df.select("repo", "path", "commit").distinct(),
+                ["repo", "path", "commit"],
+                "left_anti",
+            )
+            .select("repo", "path", "commit")
+        )
+        n = mark_deleted(self.spark, self.index_dir, old)
+        return {**res, "replaced": n}
+
 
 def index_stream(
     stream_df: DataFrame,

@@ -76,3 +76,38 @@ def test_readstream_file_source(spark, tmp_path, batch_index):
     assert sum(s["docs"] for s in m.segments) == N_DOCS
     assert len(m.segments) >= 4  # >=2 micro-batches happened
     assert _topk(spark, d) == _topk(spark, batch_index)
+
+
+def test_replace_batch_supersedes_old_versions(spark, tmp_path):
+    """Replace (index_writer.hpp:407): new commit of the same (repo, path)
+    must be the only visible version afterwards."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "idx_replace")
+    corpus = generate_corpus(spark, 120, 4).cache()
+    idxer = IncrementalIndexer(spark, d, segments_per_batch=2)
+    idxer.process_batch(corpus, 0)
+
+    # re-ship 30 docs under a new commit with changed content
+    updated = (
+        corpus.limit(30)
+        .withColumn("commit", F.concat(F.lit("v2_"), F.col("commit")))
+        .withColumn("content", F.concat(F.col("content"), F.lit(" zzzupdated")))
+        .cache()
+    )
+    res = idxer.replace_batch(updated, 1)
+    assert res["replaced"] == 30
+
+    eng = SearchEngine(spark, d)
+    hits = eng.search(TermF(term="zzzupdated"), k=None).collect()
+    assert len(hits) == 30
+    assert all(r["commit"].startswith("v2_") for r in hits)
+    # old versions are masked: total live docs unchanged
+    base = eng.search(TermF(term="import"), k=None).select("repo", "path")
+    assert base.distinct().count() == base.count()
+
+    # idempotent: re-running the same replace changes nothing
+    res2 = idxer.replace_batch(updated, 1)
+    assert res2.get("skipped", False) or res2["replaced"] == 0
+    corpus.unpersist()
+    updated.unpersist()
