@@ -167,7 +167,9 @@ def test_ngram_prefix_bounds_universal_gram(spark):
     """A boilerplate gram shared by EVERY doc must not explode the candidate
     join: with distinct remainders, the universal gram is common (max df) so
     it never enters any prefix, and candidates stay ~0 instead of O(n^2)."""
-    from iresearch_spark.pipeline.dedup import _ngram_candidates, _ngram_flat
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.pipeline.dedup import _gram_sets, _ngram_candidates
 
     n = 60
     rows = []
@@ -181,7 +183,10 @@ def test_ngram_prefix_bounds_universal_gram(spark):
         rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
     )
     docs = spark.createDataFrame(pdf)
-    n_cand = _ngram_candidates(_ngram_flat(docs), 0.5).count()
+    flat = _gram_sets(docs).select(
+        "doc_id", "bucket", "n_grams", F.explode("grams").alias("gram")
+    )
+    n_cand = _ngram_candidates(flat, 0.5).count()
     assert n_cand < n  # naive same-gram join would give n*(n-1)/2 = 1770
     # and the full op returns no >=0.5 pairs (docs share only boilerplate)
     assert ngram_jaccard_pairs(docs, 0.5).count() == 0
