@@ -9,6 +9,7 @@ from iresearch_spark.index.deletes import (  # noqa: F401
     mark_deleted,
     plan_cleanup,
 )
+from iresearch_spark.index.importer import import_index  # noqa: F401
 from iresearch_spark.index.merge import (  # noqa: F401
     consolidate,
     merge_segments,
