@@ -235,6 +235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, And(children=(TermF(term="spark"), TermF(term="window"),
                             TermF(term="customer")))
     )
+    # per-term boosts on by_terms (terms_filter.hpp search_terms)
+    q["ft_terms_boosted"] = lambda s, d: _ft(
+        s, d, TermsF(terms=(("window", 2.5), "batch"))
+    )
     q["ft_minmatch"] = lambda s, d: _ft(
         s, d, TermsF(terms=("spark", "window", "customer"), min_match=2)
     )
@@ -256,6 +260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # vectorized position verify at its worst case (no per-doc Python)
     q["ft_phrase_hot"] = lambda s, d: _ft(
         s, d, Phrase(terms=("stream", "data"))
+    )
+    # gapped phrase (phrase_filter.hpp:71-84 push_back offs): "fast _ key",
+    # exactly one arbitrary token between
+    q["ft_phrase_gap"] = lambda s, d: _ft(
+        s, d, Phrase(terms=("fast", "key"), offsets=(0, 1))
     )
     # same_position with a repeated term: pf == tf, idf counted per slot
     # (by_same_position, core/search/same_position_filter.cpp)
@@ -641,7 +650,7 @@ FROM documents d CROSS JOIN stats s CROSS JOIN df f
 WHERE lower(strip_accents(d.source)) = lower(strip_accents('SRC3'))
 """
 
-    def _phrase_sql(t1: str, t2: str) -> str:
+    def _phrase_sql(t1: str, t2: str, gap: int = 1) -> str:
         return f"""
 WITH pos AS (
   SELECT doc_id,
@@ -664,7 +673,7 @@ idf AS (
 ),
 m AS (
   SELECT a.doc_id, count(*) AS pf
-  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + {gap}
   WHERE a.term = '{t1}' AND b.term = '{t2}'
   GROUP BY a.doc_id
 )
@@ -684,6 +693,17 @@ CROSS JOIN idf i
 
     o["ft_phrase"] = _phrase_sql("fast", "key")
     o["ft_phrase_hot"] = _phrase_sql("stream", "data")
+    o["ft_phrase_gap"] = _phrase_sql("fast", "key", gap=2)
+    # per-term boost scales that term's score contribution (c0 is linear in
+    # boost, bm25.cpp:319-364)
+    o["ft_terms_boosted"] = f"""{_BM25_PRELUDE}
+SELECT doc_id,
+       round(sum((CASE term WHEN 'window' THEN 2.5 ELSE 1.0 END)
+                 * (c0 - c0 * c1 / (c1 + tf))), 4) AS score
+FROM scored
+WHERE term IN ('window', 'batch')
+GROUP BY doc_id
+"""
     o["ft_tfidf"] = f"""
 WITH tok AS (
   SELECT doc_id,

@@ -44,8 +44,22 @@ def identity_analyzer(s: pd.Series) -> pd.Series:
     return s.fillna("").map(lambda x: [x])
 
 
-def norm_lower_analyzer(s: pd.Series) -> pd.Series:
-    return s.fillna("").str.lower().map(lambda x: [x])
+def norm_lower_analyzer(
+    s: pd.Series, case: str = "lower", accent: bool = True
+) -> pd.Series:
+    """Whole input -> one normalized token
+    (`text_token_normalizing_stream.cpp`): case = lower|upper|none;
+    ``accent=False`` strips accents (the reference's accent option)."""
+    out = s.fillna("")
+    if case == "lower":
+        out = out.str.lower()
+    elif case == "upper":
+        out = out.str.upper()
+    if not accent:
+        from iresearch_spark.analysis.stem import strip_accents
+
+        out = out.map(strip_accents)
+    return out.map(lambda x: [x])
 
 
 def delimiter_analyzer(s: pd.Series, delimiter: str = ",") -> pd.Series:
@@ -124,18 +138,37 @@ def text_analyzer(
     stopwords: frozenset[str] = DEFAULT_STOPWORDS,
     stemming: bool = True,
     accent: bool = False,
+    min_gram: int | None = None,
+    max_gram: int | None = None,
+    preserve_original: bool = False,
 ) -> pd.Series:
     """`text` analyzer pipeline in the REFERENCE's stage order
     (`text_token_stream.cpp:355-420 process_term`): word split -> lower ->
     accent strip (when ``accent=False``, like the reference's default) ->
     stopword check on the UNSTEMMED token -> snowball stem.
 
+    ``min_gram``/``max_gram``/``preserve_original`` switch on EDGE n-grams
+    over each processed token (`text_token_stream.cpp next_ngram`): emit
+    prefixes of length [min_gram, max_gram]; a token outside that range is
+    additionally emitted whole only under ``preserve_original``.
+
     Stemming is per-distinct-token via a memo dict (dictionary-level, not
     per-occurrence), keeping the Python cost O(vocab) per batch."""
     from iresearch_spark.analysis.stem import stem_english, strip_accents
 
     toks = s.fillna("").str.lower().str.findall(TEXT_TOKEN_PATTERN)
-    memo: dict[str, str] = {}
+    memo: dict[str, list[str]] = {}
+    ngrams = min_gram is not None or max_gram is not None or preserve_original
+
+    def expand(t: str) -> list[str]:
+        if not ngrams:
+            return [t]
+        lo = min_gram or 1
+        hi = min(len(t), max_gram) if max_gram is not None else len(t)
+        out = [t[:n] for n in range(lo, hi + 1)]
+        if preserve_original and (len(t) < lo or hi < len(t)):
+            out.append(t)
+        return out
 
     def proc(ts: list[str]) -> list[str]:
         out = []
@@ -144,11 +177,11 @@ def text_analyzer(
                 t = strip_accents(t)
             if t in stopwords:
                 continue
-            st = memo.get(t)
-            if st is None:
-                st = stem_english(t) if stemming else t
-                memo[t] = st
-            out.append(st)
+            emitted = memo.get(t)
+            if emitted is None:
+                emitted = expand(stem_english(t) if stemming else t)
+                memo[t] = emitted
+            out.extend(emitted)
         return out
 
     return toks.map(proc)

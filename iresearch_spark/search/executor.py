@@ -309,7 +309,10 @@ class SearchEngine:
                 literal_pairs.append(
                     (self._resolve_field(node.field_name), node.term)
                 )
-            elif isinstance(node, (TermsF, NGramSimilarity)):
+            elif isinstance(node, TermsF):
+                fld = self._resolve_field(node.field_name)
+                literal_pairs.extend((fld, t) for t, _ in node.pairs())
+            elif isinstance(node, NGramSimilarity):
                 fld = self._resolve_field(node.field_name)
                 literal_pairs.extend((fld, t) for t in node.terms)
             elif isinstance(node, (Phrase, SamePosition)):
@@ -320,7 +323,7 @@ class SearchEngine:
                     elif isinstance(el, TermF):
                         literal_pairs.append((fld, el.term))
                     elif isinstance(el, TermsF):
-                        literal_pairs.extend((fld, t) for t in el.terms)
+                        literal_pairs.extend((fld, t) for t, _ in el.pairs())
                     elif isinstance(el, (Prefix, Wildcard, TermRange, Fuzzy)):
                         reg_leaf(fld, el)
                     else:
@@ -393,9 +396,12 @@ class SearchEngine:
                 return {"op": "terms", "tids": [tid], "min_match": 1}
             if isinstance(node, TermsF):
                 fld = self._resolve_field(node.field_name)
+                # per-term boost folds into that term's c0 (c0 is linear in
+                # boost, bm25.cpp:319-364), matching the reference's
+                # boosted search_terms (terms_filter.hpp:33-100)
                 tids = [
-                    add_instance(fld, t, dfs[(fld, t)], b, True)
-                    for t in node.terms
+                    add_instance(fld, t, dfs[(fld, t)], b * tb, True)
+                    for t, tb in node.pairs()
                 ]
                 return {"op": "terms", "tids": tids, "min_match": node.min_match}
             if isinstance(node, (Prefix, Wildcard, TermRange, Fuzzy)):
@@ -448,7 +454,9 @@ class SearchEngine:
                     elif isinstance(el, TermF):
                         slot_terms = [(el.term, dfs[(fld, el.term)])]
                     elif isinstance(el, TermsF):
-                        slot_terms = [(t, dfs[(fld, t)]) for t in el.terms]
+                        slot_terms = [
+                            (t, dfs[(fld, t)]) for t, _ in el.pairs()
+                        ]
                     elif isinstance(el, (Prefix, Wildcard, TermRange, Fuzzy)):
                         slot_terms = leaf_terms(fld, el)
                     else:
@@ -469,7 +477,12 @@ class SearchEngine:
                 c0 = float(self.scorer.c0(b, idf_sum, dtype))
                 nc, nl = field_nc_nl(fld)
                 op = "phrase" if isinstance(node, Phrase) else "same_position"
+                slot_pos = (
+                    list(node.positions()) if isinstance(node, Phrase)
+                    else [0] * len(groups)
+                )
                 return {"op": op, "groups": groups, "c0": c0,
+                        "positions": slot_pos,
                         "field": fld, "nc": nc, "nl": nl}
             if isinstance(node, ExistsF):
                 fld = self._resolve_field(node.field_name)
@@ -874,9 +887,10 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             # doc < 2^31 (int32 ids) and pos < 2^31 (positions are token
             # ordinals, bounded by dl).
             n_slots = len(slot_members)
+            slot_pos = node.get("positions") or list(range(n_slots))
             key_parts: list[np.ndarray] = []
             for i, terms_g in enumerate(slot_members):
-                shift = np.int64(i if gapped else 0)
+                shift = np.int64(slot_pos[i] if gapped else 0)
                 parts = []
                 for t in terms_g:
                     d_rep, p = positions_for(t, cand)

@@ -32,11 +32,19 @@ class TermF(Filter):
 
 @dataclass(frozen=True)
 class TermsF(Filter):
-    """by_terms: set of terms with minimum-should-match."""
+    """by_terms: set of terms with minimum-should-match. Elements are plain
+    strings or ``(term, boost)`` pairs — the reference's per-term boosts
+    (`terms_filter.hpp:33-100` search_terms carry a boost each)."""
 
     field_name: str = "content"
-    terms: tuple[str, ...] = ()
+    terms: tuple = ()
     min_match: int = 1
+
+    def pairs(self) -> tuple[tuple[str, float], ...]:
+        return tuple(
+            (t, 1.0) if isinstance(t, str) else (t[0], float(t[1]))
+            for t in self.terms
+        )
 
 
 @dataclass(frozen=True)
@@ -142,6 +150,19 @@ class Phrase(Filter):
 
     field_name: str = "content"
     terms: tuple = ()
+    #: extra position gap before each element (`phrase_filter.hpp:71-84`
+    #: push_back offs): slot i sits at position p_i with p_0 = offsets[0],
+    #: p_i = p_{i-1} + 1 + offsets[i]; empty = adjacent terms. offsets[i]=1
+    #: means exactly one arbitrary token between element i-1 and element i.
+    offsets: tuple[int, ...] = ()
+
+    def positions(self) -> tuple[int, ...]:
+        offs = tuple(self.offsets) + (0,) * (len(self.terms) - len(self.offsets))
+        out, p = [], -1
+        for i, o in enumerate(offs[: len(self.terms)]):
+            p = (o if i == 0 else p + 1 + o)
+            out.append(p)
+        return tuple(out)
 
 
 @dataclass(frozen=True)

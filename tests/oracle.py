@@ -140,7 +140,8 @@ class OracleEngine:
             return self._scored_union([(node.term, b, True)], 1)
         if isinstance(node, TermsF):
             return self._scored_union(
-                [(t, b, True) for t in node.terms], node.min_match
+                [(t, F32(b * tb), True) for t, tb in node.pairs()],
+                node.min_match,
             )
         if isinstance(node, (Prefix, Wildcard, TermRange, Fuzzy)):
             matched = self._expand(node)
@@ -194,11 +195,12 @@ class OracleEngine:
             keys = set(sets[0])
             for s_ in sets[1:]:
                 keys &= set(s_)
+            slot_pos = node.positions()
             out = {}
             for key in keys:
-                m = set(sets[0][key])
-                for gap, s_ in enumerate(sets[1:], start=1):
-                    m &= {p - gap for p in s_[key]}
+                m = {p - slot_pos[0] for p in sets[0][key]}
+                for i, s_ in enumerate(sets[1:], start=1):
+                    m &= {p - slot_pos[i] for p in s_[key]}
                     if not m:
                         break
                 if m:

@@ -81,3 +81,46 @@ def test_identity_and_registry_options():
     assert out.tolist() == [["x;y"]]  # default delimiter ','
     out2 = get_analyzer("delimiter", delimiter=";")(pd.Series(["x;y"]))
     assert out2.tolist() == [["x", "y"]]
+
+
+def test_phrase_positions_and_terms_pairs():
+    """Pure-DSL helpers: Phrase.positions() cumulative gap math
+    (phrase_filter.hpp push_back offs) and TermsF.pairs() boost unwrap."""
+    from iresearch_spark.search import Phrase, TermsF
+
+    assert Phrase(terms=("a", "b", "c")).positions() == (0, 1, 2)
+    assert Phrase(terms=("a", "b"), offsets=(0, 1)).positions() == (0, 2)
+    assert Phrase(terms=("a", "b", "c"), offsets=(1, 0, 3)).positions() == (1, 2, 6)
+    # short offsets pad with 0 (adjacent)
+    assert Phrase(terms=("a", "b", "c"), offsets=(0, 2)).positions() == (0, 3, 4)
+    assert TermsF(terms=("x", ("y", 2.0))).pairs() == (("x", 1.0), ("y", 2.0))
+
+
+def test_text_analyzer_edge_ngrams():
+    """text analyzer edge-ngram options (`text_token_stream.cpp next_ngram`):
+    prefixes of the PROCESSED (stemmed) token in [min_gram, max_gram];
+    out-of-range tokens emitted whole only under preserve_original."""
+    from iresearch_spark.analysis.analyzers import text_analyzer
+
+    s = pd.Series(["querying ox"])
+    # 'querying' stems to 'queri'
+    out = text_analyzer(s, min_gram=3, max_gram=4).tolist()[0]
+    assert out == ["que", "quer"]  # 'ox' (len 2 < 3) dropped
+    out2 = text_analyzer(s, min_gram=3, max_gram=4, preserve_original=True)
+    assert out2.tolist()[0] == ["que", "quer", "queri", "ox"]
+    # token length within range: whole token is its own longest prefix,
+    # not duplicated by preserve_original
+    out3 = text_analyzer(pd.Series(["cat"]), min_gram=2, max_gram=5,
+                         preserve_original=True).tolist()[0]
+    assert out3 == ["ca", "cat"]
+    # no ngram options: unchanged pipeline
+    assert text_analyzer(s).tolist()[0] == ["queri", "ox"]
+
+
+def test_norm_case_and_accent_options():
+    out = norm_lower_analyzer(
+        pd.Series(["Crème Brûlée"]), case="upper", accent=False
+    ).tolist()
+    assert out == [["CREME BRULEE"]]
+    out2 = norm_lower_analyzer(pd.Series(["AbC"]), case="none").tolist()
+    assert out2 == [["AbC"]]

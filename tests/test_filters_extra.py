@@ -153,3 +153,65 @@ def test_wildcard_escape_literal_underscore(spark, tmp_path):
     # escaped \_: literal underscore -> only doc p1
     rows = eng.search(Wildcard(pattern=r"a\_b"), k=None).collect()
     assert [r["path"] for r in rows] == ["p1"]
+
+
+def test_phrase_offsets_gap(spark, tmp_path_factory):
+    """Phrase position offsets (`phrase_filter.hpp:71-84` push_back offs):
+    offsets[i] = extra tokens allowed (exactly) between element i-1 and i."""
+    import pandas as pd
+
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.search import Phrase
+
+    texts = {
+        "adj": "alpha beta gamma delta",
+        "gap1": "alpha xxx beta yyy gamma",
+        "gap2": "alpha one two beta gamma",
+    }
+    pdf = pd.DataFrame(
+        {"repo": ["r"] * 3, "path": list(texts), "commit": list(texts),
+         "lang": ["t"] * 3, "content": list(texts.values())}
+    )
+    d = str(tmp_path_factory.mktemp("idx_gap"))
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=1)
+    eng = SearchEngine(spark, d)
+
+    def paths(filt):
+        return sorted(r["path"] for r in eng.search(filt, k=None).collect())
+
+    assert Phrase(terms=("a", "b"), offsets=(0, 1)).positions() == (0, 2)
+    # alpha _ beta (exactly one token between)
+    assert paths(Phrase(terms=("alpha", "beta"), offsets=(0, 1))) == ["gap1"]
+    # alpha _ _ beta
+    assert paths(Phrase(terms=("alpha", "beta"), offsets=(0, 2))) == ["gap2"]
+    # alpha _ beta _ gamma
+    assert paths(
+        Phrase(terms=("alpha", "beta", "gamma"), offsets=(0, 1, 1))
+    ) == ["gap1"]
+    # default offsets unchanged: adjacent phrase
+    assert paths(Phrase(terms=("alpha", "beta"))) == ["adj"]
+
+
+def test_terms_per_term_boost(engine):
+    """by_terms per-term boosts (terms_filter.hpp search_terms): score is
+    linear in each matched term's boost."""
+    from iresearch_spark.search import TermsF
+
+    flat = engine.search(
+        TermsF(terms=("import", "return")), k=None, with_identity=False
+    ).toPandas().set_index(["segment_id", "doc_id"])
+    bi = engine.search(
+        TermF(term="import", boost=3.0), k=None, with_identity=False
+    ).toPandas().set_index(["segment_id", "doc_id"])
+    br = engine.search(
+        TermF(term="return"), k=None, with_identity=False
+    ).toPandas().set_index(["segment_id", "doc_id"])
+    boosted = engine.search(
+        TermsF(terms=(("import", 3.0), "return")), k=None, with_identity=False
+    ).toPandas().set_index(["segment_id", "doc_id"])
+    assert set(boosted.index) == set(flat.index)
+    expect = bi["score"].reindex(boosted.index).fillna(0.0).to_numpy() + \
+        br["score"].reindex(boosted.index).fillna(0.0).to_numpy()
+    np.testing.assert_allclose(
+        boosted["score"].to_numpy(), expect, rtol=2e-5
+    )
