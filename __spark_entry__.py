@@ -346,6 +346,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, NGramSimilarity(terms=("fast", "join", "query"), threshold=0.6)
     )
 
+    # BM15 = BM25 with b=0 (bm25.hpp special cases): dl drops out, c1 == k
+    def ft_bm15(s, d):
+        from iresearch_spark.search import BM25, SearchEngine
+
+        base = _engine(s, d)
+        eng = SearchEngine(s, base.index_dir, scorer=BM25(k=1.2, b=0.0))
+        res = eng.search(TermF(term="spark"), k=None, dtype="float64")
+        return res.select(
+            F.col("path").cast("int").alias("doc_id"),
+            F.round(F.col("score"), 4).alias("score"),
+        )
+
+    q["ft_bm15"] = ft_bm15
+
     def ft_tfidf(s, d):
         from iresearch_spark.search import SearchEngine, TFIDF
 
@@ -703,6 +717,24 @@ SELECT doc_id,
 FROM scored
 WHERE term IN ('window', 'batch')
 GROUP BY doc_id
+"""
+    # BM15 (b=0): c1 = k(1-0) + 0*dl = 1.2 for every doc
+    o["ft_bm15"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n FROM dl),
+tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'spark' GROUP BY doc_id
+),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id,
+       round((2.2 * ln(1.0 + ((s.n - f.df) + 0.5) / (f.df + 0.5)))
+             * (1.0 - 1.2 / (1.2 + tf.tf)), 4) AS score
+FROM tf CROSS JOIN stats s CROSS JOIN df f
 """
     o["ft_tfidf"] = f"""
 WITH tok AS (
