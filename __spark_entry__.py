@@ -419,6 +419,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda s, d: fingerprints(_docs(s, d))
     q["text_quality"] = lambda s, d: quality_scores(_docs(s, d))
     q["text_langid"] = lambda s, d: language_id(_docs(s, d))
+    from iresearch_spark.pipeline.text import (
+        bpe_token_estimate,
+        winnowing_fingerprints,
+    )
+
+    q["text_bpe_estimate"] = lambda s, d: bpe_token_estimate(_docs(s, d))
+    # winnowing (MOSS) rolling-hash fingerprints, k=5-token shingles, w=4
+    q["text_winnowing"] = lambda s, d: winnowing_fingerprints(_docs(s, d))
     # --- relational analogues of reference filters (SURVEY §2.3):
     # by_granular_range -> native numeric BETWEEN with pushdown;
     # ByNestedFilter -> parent/child semi-join (orders having a matching
@@ -859,6 +867,40 @@ FROM documents
 SELECT doc_id,
        md5(trim(regexp_replace(lower(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents
+"""
+    from iresearch_spark.pipeline.text import BPE_PRETOKEN_PATTERN
+
+    bpe_pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    o["text_bpe_estimate"] = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(coalesce(text, '')), '{bpe_pat}')) AS n_pretokens,
+       ceil(length(coalesce(text, '')) / 4.0)::BIGINT AS est_chars_div4
+FROM documents
+"""
+    # winnowing twin: identical md5 shingle hash + lexicographic window min
+    o["text_winnowing"] = f"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '{_TOK}') AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(toks) - 4, 0) + 1),
+           i -> md5(array_to_string(toks[i:i+4], ' '))
+         ) AS sh
+  FROM toks
+),
+wins AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(sh) - 3, 0) + 1),
+           j -> list_min(sh[j:j+3])
+         )) AS fps
+  FROM sh
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM wins
 """
     stop_list = "'the','a','for','if','of','to','and','in','on'"
     o["text_quality"] = f"""

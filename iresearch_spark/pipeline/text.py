@@ -76,6 +76,75 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+#: GPT-2-class pretokenizer shape (contractions, letter runs, digit runs,
+#: punctuation runs) on case-folded text — RE2-compatible so the DuckDB
+#: oracle runs the IDENTICAL pattern. Used for token-budget estimation.
+BPE_PRETOKEN_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpe_token_estimate(docs: DataFrame) -> DataFrame:
+    """Per-doc token-budget estimate under a BPE-ish pretokenizer: the
+    pretoken count (each pretoken splits into >=1 BPE tokens, so this is the
+    lower bound the usual chars/4 heuristic approximates) plus chars/4."""
+    pre = F.regexp_extract_all(
+        F.lower(F.coalesce(F.col("text"), F.lit(""))),
+        F.lit(BPE_PRETOKEN_PATTERN), F.lit(0),
+    )
+    text_len = F.length(F.coalesce(F.col("text"), F.lit("")))
+    return docs.select(
+        "doc_id",
+        F.size(pre).alias("n_pretokens"),
+        F.ceil(text_len / F.lit(4.0)).cast("long").alias("est_chars_div4"),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme,
+    Schleimer et al. 2003): hash every k-token shingle, slide a w-hash
+    window, keep each window's minimum — guarantees any match of length
+    >= w + k - 1 tokens shares a fingerprint, at ~2/(w+1) selection density.
+
+    All JVM built-ins: the shingle hash is md5 of the joined tokens and the
+    window minimum is the LEXICOGRAPHIC min of the hex digests (identical
+    semantics in DuckDB, which lacks Spark's integer hashes). The token and
+    shingle arrays are materialized as named columns before the transforms
+    that index into them — a generator-adjacent expression is re-evaluated
+    per produced element otherwise (see CLAUDE.md / build.py).
+    """
+    toks = docs.select(
+        "doc_id", _tokens().alias("toks")
+    )
+    sh = toks.select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size("toks") - F.lit(k - 1), F.lit(0)),
+            ),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice("toks", i, k))
+            ),
+        ).alias("sh"),
+    )
+    wins = sh.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("sh") - F.lit(w - 1), F.lit(0)),
+                ),
+                lambda j: F.array_min(F.slice("sh", j, w)),
+            )
+        ).alias("fps"),
+    )
+    return wins.select(
+        "doc_id", F.explode("fps").alias("fingerprint")
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Marker-token language ID (n-gram-heuristic class of langid).
 

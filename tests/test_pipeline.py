@@ -190,3 +190,45 @@ def test_ngram_prefix_bounds_universal_gram(spark):
     assert n_cand < n  # naive same-gram join would give n*(n-1)/2 = 1770
     # and the full op returns no >=0.5 pairs (docs share only boilerplate)
     assert ngram_jaccard_pairs(docs, 0.5).count() == 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """Winnowing invariant (Schleimer et al. 2003): two docs sharing a run
+    of >= w + k - 1 tokens share at least one fingerprint; selection
+    density stays well under 1 fingerprint per shingle."""
+    from iresearch_spark.pipeline.text import winnowing_fingerprints
+
+    shared = " ".join(f"common{i}" for i in range(12))  # >= w+k-1 = 8 tokens
+    rows = [
+        (0, f"aaa bbb {shared} ccc ddd eee fff", "en", "s0", 0),
+        (1, f"xxx yyy zzz www {shared} qqq rrr", "en", "s0", 0),
+        (2, "totally different words here nothing shared at all "
+            "one two three four five six", "en", "s0", 0),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    fp = winnowing_fingerprints(docs, k=5, w=4).toPandas()
+    by_doc = {d: set(g["fingerprint"]) for d, g in fp.groupby("doc_id")}
+    assert by_doc[0] & by_doc[1], "shared 12-token run must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+    # density: far fewer fingerprints than shingles (22 tokens -> 18 shingles)
+    assert len(by_doc[0]) < 12
+
+
+def test_bpe_estimate_counts(spark):
+    from iresearch_spark.pipeline.text import bpe_token_estimate
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [(0, "it's 2024, hello-world foo", "en", "s0", 0),
+             (1, None, "en", "s0", 0)],
+            columns=["doc_id", "text", "lang", "source", "n_chars"],
+        )
+    )
+    out = bpe_token_estimate(docs).toPandas().set_index("doc_id")
+    # it|'s| |2024|,| hello|-|world| foo -> pretokens: "it","'s","2024",
+    # ","," hello","-","world"(with space), " foo"
+    assert out.loc[0, "n_pretokens"] == 8
+    assert out.loc[1, "n_pretokens"] == 0 and out.loc[1, "est_chars_div4"] == 0
