@@ -80,7 +80,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "ft_phrase", "ft_phrase_hot", "ft_prefix", "ft_fuzzy",
         "ft_fuzzy_transpose", "ft_wildcard", "ft_range",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash_pairs",
-        "dedup_ngram_jaccard", "text_token_stats",
+        "dedup_ngram_jaccard", "text_token_stats", "text_winnowing",
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     ]
     q_times: dict[str, float] = {}

@@ -20,10 +20,11 @@ The Spark reading of `core/index/merge_writer.cpp` + the tier policy of
 Skew note (10^12-file scale): bucketing by term hash spreads the dictionary
 uniformly, and terms whose total postings bytes exceed ``hot_term_bytes``
 are promoted to a dedicated bucket each (tiny hot set -> broadcast join), so
-no task carries more than max(hottest term, average bucket). A single term's
-postings remain one task — the format keeps one blob per (segment, field,
-term); sharding the blob itself (two-level salted merge) is the next
-escalation if a single term outgrows one executor.
+no task carries more than max(hottest term, average bucket). For terms that
+outgrow a single blob, ``shard_docs`` splits the merged posting list into
+several disjoint doc-range rows (block-aligned); the query kernel and WAND
+are shard-aware, and re-merges of sharded rows restore doc order via a
+first-block-doc tiebreak.
 """
 
 from __future__ import annotations
@@ -163,12 +164,20 @@ def merge_segments(
     bucket_count: int = 64,
     cleanup: bool = True,
     hot_term_bytes: int = 64 << 20,
+    shard_docs: int | None = None,
 ) -> dict:
     """Merge the given segments into one new segment; returns merge metrics.
 
     Tombstoned docs (deletes table) are PURGED: the per-segment doc-id maps
     drop masked docs and re-number the survivors densely, exactly the
-    reference's ``doc_id_map`` remap (`merge_writer.cpp:1448-`)."""
+    reference's ``doc_id_map`` remap (`merge_writer.cpp:1448-`).
+
+    ``shard_docs``: when set, a term whose merged posting list exceeds this
+    many docs is written as multiple disjoint doc-range rows (block-aligned)
+    instead of one giant blob — the two-level escalation for terms that
+    outgrow a single blob at 10^12-doc scale. Query side is shard-aware
+    (executor concatenates; WAND skips per shard). Already-sharded input
+    rows re-merge correctly (ordered by each row's first-block doc)."""
     import glob
     import os
     import shutil
@@ -216,7 +225,16 @@ def merge_segments(
                 columns=[c.split()[0] for c in MERGE_SCHEMA.split(", ")]
             )
         bases_l, deleted_l = bc.value
-        pdf = pdf.sort_values(["field", "term", "segment_id"], kind="stable")
+        # first-block doc as tiebreak: input segments may already carry
+        # SHARDED rows for a term; doc order must ascend across shards so
+        # the delta encoder sees monotonic ids
+        pdf = pdf.assign(
+            _first=pdf["last_docs"].map(
+                lambda a: int(a[0]) if len(a) else 0
+            )
+        ).sort_values(
+            ["field", "term", "segment_id", "_first"], kind="stable"
+        )
         fields_arr = pdf["field"].to_numpy(dtype=object)
         counts = pdf["docs_count"].to_numpy(np.int64)
         docs, freqs = decode_postings_many(list(pdf["postings"]), counts)
@@ -277,17 +295,42 @@ def merge_segments(
         kept_docs = new_docs[keep]
         kept_freqs = freqs[keep]
         kept_dls = dls[keep]
+        # blob sharding (the "salted two-level merge" escalation): a term
+        # whose merged postings exceed ``shard_docs`` docs is written as
+        # SEVERAL rows of disjoint consecutive doc ranges (block-aligned
+        # chunks), bounding every blob; the query kernel concatenates
+        # shards in first-doc order (executor rows_by_term)
+        lengths = term_lengths[nonempty]
+        meta = np.flatnonzero(nonempty)
+        if shard_docs:
+            exp_lengths: list[int] = []
+            exp_meta: list[int] = []
+            for L, mi in zip(lengths.tolist(), meta.tolist()):
+                if L > shard_docs:
+                    n_chunks = -(-L // shard_docs)
+                    chunk = ((-(-L // n_chunks) + 127) // 128) * 128
+                    rem = L
+                    while rem > 0:
+                        c = min(chunk, rem)
+                        exp_lengths.append(c)
+                        exp_meta.append(mi)
+                        rem -= c
+                else:
+                    exp_lengths.append(int(L))
+                    exp_meta.append(mi)
+            lengths = np.asarray(exp_lengths, dtype=np.int64)
+            meta = np.asarray(exp_meta, dtype=np.int64)
         blobs, offs, lasts, maxf, minn = encode_postings_batch(
-            kept_docs, kept_freqs, kept_dls, term_lengths[nonempty]
+            kept_docs, kept_freqs, kept_dls, lengths
         )
         out = {
-            "segment_id": np.full(int(nonempty.sum()), new_id, dtype=np.int32),
-            "field": fields_arr[trow_starts][nonempty],
-            "term": terms[trow_starts][nonempty],
-            "docs_count": term_lengths[nonempty].astype(np.int32),
+            "segment_id": np.full(lengths.size, new_id, dtype=np.int32),
+            "field": fields_arr[trow_starts[meta]],
+            "term": terms[trow_starts[meta]],
+            "docs_count": lengths.astype(np.int32),
             "total_tf": np.add.reduceat(
                 kept_freqs,
-                np.concatenate([[0], np.cumsum(term_lengths[nonempty])])[:-1],
+                np.concatenate([[0], np.cumsum(lengths)])[:-1],
             ).astype(np.int64)
             if kept_freqs.size
             else np.empty(0, np.int64),
@@ -302,7 +345,7 @@ def merge_segments(
             flat_pos = decode_positions(pos_concat, freqs)
             pos_keep = np.repeat(keep, freqs)
             pblobs, poffs = encode_positions_batch(
-                kept_freqs, flat_pos[pos_keep], term_lengths[nonempty]
+                kept_freqs, flat_pos[pos_keep], lengths
             )
             out["positions"] = pblobs
             out["pos_offsets"] = poffs

@@ -689,10 +689,19 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
         else:
             live_mask_rows = np.ones(doc_ids_all.size, dtype=bool)
 
-        # (field, term) -> segment row
-        rows_by_term: dict[tuple[str, str], Any] = {}
+        # (field, term) -> segment rowS: normally one row, but a giant
+        # term's postings may be SHARDED into several disjoint doc-range
+        # rows (merge_segments shard_docs, the salted-blob escalation);
+        # shards concatenate in ascending-doc order (sorted by first block's
+        # last_doc)
+        rows_by_term: dict[tuple[str, str], list] = {}
         for row in left.itertuples(index=False):
-            rows_by_term[(row.field, row.term)] = row
+            rows_by_term.setdefault((row.field, row.term), []).append(row)
+        for shards in rows_by_term.values():
+            if len(shards) > 1:
+                shards.sort(
+                    key=lambda r: int(r.last_docs[0]) if len(r.last_docs) else 0
+                )
 
         decode_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
         raw_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
@@ -702,15 +711,25 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             """Undeleted-unfiltered decode — the positions blob is aligned to
             THESE freqs; the document mask is applied downstream."""
             if key not in raw_cache:
-                r = rows_by_term.get(key)
-                if r is None:
+                shards = rows_by_term.get(key)
+                if not shards:
                     raw_cache[key] = (
                         np.empty(0, dtype=np.int64),
                         np.empty(0, dtype=np.int64),
                     )
-                else:
+                elif len(shards) == 1:
+                    r = shards[0]
                     raw_cache[key] = decode_postings(
                         r.postings, int(r.docs_count)
+                    )
+                else:
+                    parts = [
+                        decode_postings(r.postings, int(r.docs_count))
+                        for r in shards
+                    ]
+                    raw_cache[key] = (
+                        np.concatenate([p[0] for p in parts]),
+                        np.concatenate([p[1] for p in parts]),
                     )
             return raw_cache[key]
 
@@ -722,11 +741,28 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             return decode_cache[key]
 
         def flat_positions(key: tuple[str, str]) -> np.ndarray:
-            """Full positions decode, aligned to raw (pre-mask) freqs."""
+            """Full positions decode, aligned to raw (pre-mask) freqs —
+            per shard (each shard's positions blob aligns to its own
+            freqs), concatenated in shard order like raw_postings."""
             if key not in pos_cache:
-                r = rows_by_term[key]
-                _, f_raw = raw_postings(key)
-                pos_cache[key] = decode_positions(r.positions, f_raw)
+                shards = rows_by_term[key]
+                if len(shards) == 1:
+                    _, f_raw = raw_postings(key)
+                    pos_cache[key] = decode_positions(
+                        shards[0].positions, f_raw
+                    )
+                else:
+                    parts = []
+                    for r in shards:
+                        _, f_s = decode_postings(
+                            r.postings, int(r.docs_count)
+                        )
+                        parts.append(decode_positions(r.positions, f_s))
+                    pos_cache[key] = (
+                        np.concatenate(parts)
+                        if parts
+                        else np.empty(0, np.int64)
+                    )
             return pos_cache[key]
 
         def positions_for(key: tuple[str, str], cand: np.ndarray):
@@ -1012,20 +1048,25 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             ub = np.zeros(ndocs + 2, dtype=np.float64)
             blockinfo = {}
             for tid in tids:
-                r = rows_by_term[inst_key(tid)]
-                last = np.asarray(r.last_docs, dtype=np.int64)
-                first = np.concatenate([[0], last[:-1]]) + 1
-                bub = scorer.block_upper_bound(
-                    np.asarray(r.max_freqs, dtype=np.int64),
-                    np.asarray(r.min_norms, dtype=np.int64),
-                    dtype(instances[tid]["c0"]),
-                    dtype(instances[tid]["nc"]),
-                    dtype(instances[tid]["nl"]),
-                    dtype,
-                ).astype(np.float64)
-                np.add.at(ub, first, bub)
-                np.add.at(ub, last + 1, -bub)
-                blockinfo[tid] = (r, first, last)
+                shard_infos = []
+                prev_last = 0  # shards are disjoint ascending doc ranges
+                for r in rows_by_term[inst_key(tid)]:
+                    last = np.asarray(r.last_docs, dtype=np.int64)
+                    first = np.concatenate([[prev_last], last[:-1]]) + 1
+                    if last.size:
+                        prev_last = int(last[-1])
+                    bub = scorer.block_upper_bound(
+                        np.asarray(r.max_freqs, dtype=np.int64),
+                        np.asarray(r.min_norms, dtype=np.int64),
+                        dtype(instances[tid]["c0"]),
+                        dtype(instances[tid]["nc"]),
+                        dtype(instances[tid]["nl"]),
+                        dtype,
+                    ).astype(np.float64)
+                    np.add.at(ub, first, bub)
+                    np.add.at(ub, last + 1, -bub)
+                    shard_infos.append((r, first, last))
+                blockinfo[tid] = shard_infos
             ub = np.cumsum(ub)[: ndocs + 1]
 
             def score_subset(cand_mask: np.ndarray):
@@ -1033,22 +1074,24 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                 matched = np.zeros(ndocs + 1, dtype=bool)
                 cum = np.concatenate([[0], np.cumsum(cand_mask)])
                 for tid in tids:
-                    r, first, last = blockinfo[tid]
-                    need = (cum[np.minimum(last + 1, ndocs + 1)] - cum[first]) > 0
-                    bids = np.flatnonzero(need)
-                    if bids.size == 0:
-                        continue
-                    d, f_, _ = decode_blocks(
-                        r.postings,
-                        np.asarray(r.block_offsets, dtype=np.int64),
-                        np.asarray(r.last_docs, dtype=np.int64),
-                        int(r.docs_count),
-                        bids,
-                    )
-                    sel = cand_mask[d] & ~del_arr[d]
-                    d, f_ = d[sel], f_[sel]
-                    acc[d] += inst_score(tid, d, f_)
-                    matched[d] = True
+                    for r, first, last in blockinfo[tid]:
+                        need = (
+                            cum[np.minimum(last + 1, ndocs + 1)] - cum[first]
+                        ) > 0
+                        bids = np.flatnonzero(need)
+                        if bids.size == 0:
+                            continue
+                        d, f_, _ = decode_blocks(
+                            r.postings,
+                            np.asarray(r.block_offsets, dtype=np.int64),
+                            np.asarray(r.last_docs, dtype=np.int64),
+                            int(r.docs_count),
+                            bids,
+                        )
+                        sel = cand_mask[d] & ~del_arr[d]
+                        d, f_ = d[sel], f_[sel]
+                        acc[d] += inst_score(tid, d, f_)
+                        matched[d] = True
                 return acc, matched
 
             # bootstrap threshold from top-C upper-bound docs

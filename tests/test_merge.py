@@ -153,3 +153,88 @@ def test_plan_docs_live_and_fill():
     assert plan_docs_live(segs, 0.5) == [0, 1]
     assert plan_docs_fill(segs, 0.5) == [0, 1]   # fill <= 0.5
     assert plan_docs_fill(segs, 0.3) == [0]      # 0.4 > 0.3
+
+
+def test_sharded_hot_term_merge_rank_identical(spark, tmp_path):
+    """Blob sharding (shard_docs): a term in every doc splits into several
+    disjoint doc-range rows at merge; queries (scored, WAND, phrase) must be
+    identical to the unmerged index."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.index import merge_segments
+    from iresearch_spark.search import Phrase, SearchEngine, TermF
+
+    n = 600
+    rows = []
+    for i in range(n):
+        # 'common' everywhere (with varying tf), 'pair marker' phrase in some
+        extra = "common " * (i % 3) + ("pair marker " if i % 7 == 0 else "")
+        rows.append(
+            ("r", f"p{i:04d}", f"c{i:04d}", "t",
+             f"common {extra}tok{i % 50} tok{i % 31} filler{i}")
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path / "idx_shard")
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=3)
+
+    def snap(eng, filt, wand=True):
+        res = eng.search(filt, k=25, wand=wand).collect()
+        return [(r["path"], round(r["score"], 6)) for r in res]
+
+    eng0 = SearchEngine(spark, d)
+    before_term = snap(eng0, TermF(term="common"))
+    before_phrase = snap(eng0, Phrase(terms=("pair", "marker")))
+
+    merge_segments(spark, d, [0, 1, 2], shard_docs=128)
+    segs = spark.read.parquet(f"{d}/segments")
+    n_shards = segs.filter(F.col("term") == "common").count()
+    assert n_shards >= 2, "hot term must be sharded into multiple rows"
+    # shards are block-aligned and bounded
+    dc = [r["docs_count"] for r in
+          segs.filter(F.col("term") == "common").collect()]
+    assert max(dc) <= 256  # chunk = ceil-to-128 of <= shard target
+
+    eng1 = SearchEngine(spark, d)
+    assert snap(eng1, TermF(term="common")) == before_term
+    assert snap(eng1, TermF(term="common"), wand=False) == before_term
+    assert snap(eng1, Phrase(terms=("pair", "marker"))) == before_phrase
+
+
+def test_resharded_segment_remerges_correctly(spark, tmp_path):
+    """Merging a segment that ALREADY contains sharded rows must re-encode
+    docs in ascending order (the _first tiebreak) — queries stay identical."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.index import merge_segments, read_manifest
+    from iresearch_spark.search import SearchEngine, TermF
+
+    rows = [
+        ("r", f"p{i:04d}", f"c{i:04d}", "t", f"common tok{i % 11} x{i}")
+        for i in range(400)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path / "idx_reshard")
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=2)
+    eng0 = SearchEngine(spark, d)
+    before = [
+        (r["path"], round(r["score"], 6))
+        for r in eng0.search(TermF(term="common"), k=30).collect()
+    ]
+
+    merge_segments(spark, d, [0, 1], shard_docs=128)  # -> sharded seg
+    sid = read_manifest(d).segments[0]["segment_id"]
+    merge_segments(spark, d, [sid])  # re-merge WITHOUT sharding
+    segs = spark.read.parquet(f"{d}/segments")
+    assert segs.filter(F.col("term") == "common").count() == 1  # un-sharded
+    eng1 = SearchEngine(spark, d)
+    after = [
+        (r["path"], round(r["score"], 6))
+        for r in eng1.search(TermF(term="common"), k=30).collect()
+    ]
+    assert after == before
