@@ -108,41 +108,45 @@ def winnowing_fingerprints(
 
     All JVM built-ins: the shingle hash is md5 of the joined tokens and the
     window minimum is the LEXICOGRAPHIC min of the hex digests (identical
-    semantics in DuckDB, which lacks Spark's integer hashes). The token and
-    shingle arrays are materialized as named columns before the transforms
-    that index into them — a generator-adjacent expression is re-evaluated
-    per produced element otherwise (see CLAUDE.md / build.py).
+    semantics in DuckDB, which lacks Spark's integer hashes). Formulated as
+    explode + window functions rather than nested array ``transform``s:
+    Catalyst's projection collapse inlines a named array column into an
+    outer transform and re-evaluates it PER PRODUCED ELEMENT (the
+    generator-adjacency trap, see CLAUDE.md) — measured 60x slower than
+    this row-wise plan at sf0.1. One shuffle, partitioned by doc_id.
     """
-    toks = docs.select(
-        "doc_id", _tokens().alias("toks")
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id", F.posexplode(_tokens()).alias("i", "tok")
     )
-    sh = toks.select(
-        "doc_id",
-        F.transform(
-            F.sequence(
-                F.lit(1),
-                F.greatest(F.size("toks") - F.lit(k - 1), F.lit(0)),
-            ),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice("toks", i, k))
-            ),
-        ).alias("sh"),
+    wo = Window.partitionBy("doc_id").orderBy("i")
+    parts = [F.col("tok")] + [
+        F.lead("tok", j).over(wo) for j in range(1, k)
+    ]
+    sh = (
+        t.select(
+            "doc_id",
+            "i",
+            F.when(
+                F.lead("tok", k - 1).over(wo).isNotNull(),
+                F.md5(F.concat_ws(" ", *parts)),
+            ).alias("sh"),
+        )
+        .where(F.col("sh").isNotNull())
     )
-    wins = sh.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1),
-                    F.greatest(F.size("sh") - F.lit(w - 1), F.lit(0)),
-                ),
-                lambda j: F.array_min(F.slice("sh", j, w)),
-            )
-        ).alias("fps"),
+    wmin = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, w - 1)
+    fps = (
+        sh.select(
+            "doc_id",
+            F.min("sh").over(wmin).alias("fingerprint"),
+            F.lead("sh", w - 1).over(wo).isNotNull().alias("full_window"),
+        )
+        .where("full_window")
+        .select("doc_id", "fingerprint")
+        .distinct()
     )
-    return wins.select(
-        "doc_id", F.explode("fps").alias("fingerprint")
-    )
+    return fps
 
 
 def language_id(docs: DataFrame) -> DataFrame:
