@@ -82,25 +82,43 @@ def ngram_analyzer(
     length ascending."""
 
     def grams(x: str) -> list[str]:
-        out = []
-        for i in range(len(x)):
+        out: list[str] = []
+        n_len = len(x)
+        if n_len == 0:  # reference next() emits nothing for empty input
+            return out
+        for i in range(n_len):
             for n in range(n_min, n_max + 1):
-                if i + n > len(x):
+                if i + n > n_len:
                     break
                 g = x[i : i + n]
-                if start_marker and i == 0:
+                is_whole = i == 0 and n == n_len
+                if preserve_original and is_whole:
+                    # the whole-input gram is covered by the original
+                    # emission below (ngram_token_stream.cpp next() skips
+                    # it while emit_original is pending)
+                    continue
+                if i == 0 and start_marker:
                     out.append(start_marker + g)
-                elif end_marker and i + n == len(x):
+                    if is_whole and end_marker:
+                        # whole-input gram with both markers: emitted again
+                        # end-marked (next() "pretend we need to emit
+                        # original" path)
+                        out.append(g + end_marker)
+                elif i + n == n_len and end_marker:
                     out.append(g + end_marker)
                 else:
                     out.append(g)
-        if preserve_original and (len(x) < n_min or len(x) > n_max):
-            tok = x
-            if start_marker:
-                tok = start_marker + tok
-            elif end_marker:
-                tok = tok + end_marker
-            out.append(tok)
+            if i == 0 and preserve_original:
+                # original sits at position 0 (emit_original: start-marked
+                # form first, then end-marked when both markers are set)
+                if start_marker:
+                    out.append(start_marker + x)
+                    if end_marker:
+                        out.append(x + end_marker)
+                elif end_marker:
+                    out.append(x + end_marker)
+                else:
+                    out.append(x)
         return out
 
     return s.fillna("").map(grams)
@@ -233,9 +251,9 @@ def collation_analyzer(s: pd.Series, locale: str = "en") -> pd.Series:
             lambda x: [coll.getSortKey(x).hex()]
         )
     except ImportError:
-        from iresearch_spark.analysis.stem import strip_accents
-
-        return s.fillna("").str.lower().map(lambda x: [strip_accents(x)])
+        # the simplified primary key IS norm(lower, accent-strip) — one code
+        # path to keep in sync with the DuckDB twin
+        return norm_lower_analyzer(s, case="lower", accent=False)
 
 
 def classification_analyzer(s: pd.Series, **options) -> pd.Series:
@@ -312,6 +330,16 @@ ANALYZERS: dict[str, Analyzer] = {
     "classification": classification_analyzer,
     "nearest_neighbors": nearest_neighbors_analyzer,
 }
+
+
+def register_analyzer(name: str, fn: Analyzer) -> None:
+    """Register a (configured) analyzer under a name — the reference's
+    REGISTER_ANALYZER with options (`analyzers.cpp:224-247`). The function
+    must be picklable (e.g. ``partial(classification_analyzer,
+    model=HashModel())``): build kernels resolve the name driver-side and
+    ship the resolved function to executor workers in the UDF closure, so
+    registration only needs to happen on the driver."""
+    ANALYZERS[name] = fn
 
 
 def get_analyzer(name: str, **options) -> Analyzer:

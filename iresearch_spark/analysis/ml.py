@@ -104,17 +104,30 @@ def classification_analyzer(
     model_location: str = "",
     top_k: int = 1,
     threshold: float = 0.0,
+    model: Model | None = None,
 ) -> pd.Series:
-    model = _load_model(model_location)
+    """Pass ``model=`` (a picklable object) to use this analyzer inside a
+    Spark index build: ``get_analyzer('classification', model=HashModel())``
+    captures the model in the serialized closure shipped to executor
+    workers. ``set_model_provider`` is a per-PROCESS hook (mirroring the
+    reference's process-global) — it is visible on the driver only, so the
+    provider route works for driver-side tokenization but not inside
+    pandas UDFs running in separate worker processes."""
+    model = model or _load_model(model_location)
     return s.fillna("").map(
         lambda x: list(model.predict(x, top_k, threshold))
     )
 
 
 def nearest_neighbors_analyzer(
-    s: pd.Series, model_location: str = "", top_k: int = 1
+    s: pd.Series,
+    model_location: str = "",
+    top_k: int = 1,
+    model: Model | None = None,
 ) -> pd.Series:
-    model = _load_model(model_location)
+    """See :func:`classification_analyzer` for the ``model=`` executor
+    route vs the driver-only provider hook."""
+    model = model or _load_model(model_location)
     memo: dict[str, list[str]] = {}
 
     def expand(x: str) -> list[str]:

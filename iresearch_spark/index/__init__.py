@@ -7,6 +7,7 @@ from iresearch_spark.index.manifest import (  # noqa: F401
 from iresearch_spark.index.deletes import (  # noqa: F401
     deletion_ratio,
     mark_deleted,
+    mark_deleted_rows,
     plan_cleanup,
 )
 from iresearch_spark.index.importer import import_index  # noqa: F401

@@ -40,12 +40,23 @@ def mark_deleted(spark: SparkSession, index_dir: str, keys: DataFrame) -> int:
     Resolves identity through docmeta, appends to the deletes table, and
     publishes a manifest generation with per-segment deleted counts.
     Returns the number of NEW tombstones."""
-    import os
-
     dm = spark.read.schema(DOCMETA_SCHEMA).parquet(f"{index_dir}/docmeta")
     resolved = dm.join(
         keys.select("repo", "path", "commit"), ["repo", "path", "commit"]
-    ).select("segment_id", "doc_id").dropDuplicates(["segment_id", "doc_id"])
+    ).select("segment_id", "doc_id")
+    return mark_deleted_rows(spark, index_dir, resolved)
+
+
+def mark_deleted_rows(
+    spark: SparkSession, index_dir: str, resolved: DataFrame
+) -> int:
+    """Tombstone pre-resolved (segment_id, doc_id) rows — the segment-aware
+    path (e.g. replace_batch deleting only PRE-batch segments' copies)."""
+    import os
+
+    resolved = resolved.select("segment_id", "doc_id").dropDuplicates(
+        ["segment_id", "doc_id"]
+    )
     if os.path.isdir(f"{index_dir}/deletes"):
         resolved = resolved.exceptAll(deletes_df(spark, index_dir))
     resolved = resolved.cache()

@@ -45,10 +45,12 @@ def import_index(
     if (
         src.field_specs() != dst.field_specs()
         or src.with_positions != dst.with_positions
+        or (src.sort or None) != (dst.sort or None)
     ):
         raise ValueError(
-            "incompatible indexes: fields/analyzers/positions differ "
-            f"({src.field_specs()} vs {dst.field_specs()})"
+            "incompatible indexes: fields/analyzers/positions/sort differ "
+            f"({src.field_specs()}/sort={src.sort} vs "
+            f"{dst.field_specs()}/sort={dst.sort})"
         )
 
     base = 1 + max((s["segment_id"] for s in dst.segments), default=-1)
@@ -74,6 +76,9 @@ def import_index(
         )
         (
             deletes_df(spark, src_dir)
+            # stale tombstones for segments no longer in the src manifest
+            # (e.g. merged with cleanup=False) would remap to NULL — drop
+            .filter(F.col("segment_id").isin(list(mapping)))
             .select(
                 mapping_expr.cast("int").alias("segment_id"),
                 F.col("doc_id"),

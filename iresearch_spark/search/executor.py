@@ -705,28 +705,32 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
 
         decode_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
         raw_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+        shard_cache: dict[tuple, list] = {}
         pos_cache: dict[tuple, np.ndarray] = {}
+
+        def shard_decodes(key: tuple[str, str]) -> list:
+            """Per-shard (docs, freqs) decodes, in shard order — shared by
+            raw_postings and flat_positions so sharded blobs decode once."""
+            if key not in shard_cache:
+                shard_cache[key] = [
+                    decode_postings(r.postings, int(r.docs_count))
+                    for r in rows_by_term.get(key, [])
+                ]
+            return shard_cache[key]
 
         def raw_postings(key: tuple[str, str]):
             """Undeleted-unfiltered decode — the positions blob is aligned to
             THESE freqs; the document mask is applied downstream."""
             if key not in raw_cache:
-                shards = rows_by_term.get(key)
-                if not shards:
+                parts = shard_decodes(key)
+                if not parts:
                     raw_cache[key] = (
                         np.empty(0, dtype=np.int64),
                         np.empty(0, dtype=np.int64),
                     )
-                elif len(shards) == 1:
-                    r = shards[0]
-                    raw_cache[key] = decode_postings(
-                        r.postings, int(r.docs_count)
-                    )
+                elif len(parts) == 1:
+                    raw_cache[key] = parts[0]
                 else:
-                    parts = [
-                        decode_postings(r.postings, int(r.docs_count))
-                        for r in shards
-                    ]
                     raw_cache[key] = (
                         np.concatenate([p[0] for p in parts]),
                         np.concatenate([p[1] for p in parts]),
@@ -746,23 +750,18 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             freqs), concatenated in shard order like raw_postings."""
             if key not in pos_cache:
                 shards = rows_by_term[key]
-                if len(shards) == 1:
-                    _, f_raw = raw_postings(key)
-                    pos_cache[key] = decode_positions(
-                        shards[0].positions, f_raw
-                    )
-                else:
-                    parts = []
-                    for r in shards:
-                        _, f_s = decode_postings(
-                            r.postings, int(r.docs_count)
-                        )
-                        parts.append(decode_positions(r.positions, f_s))
-                    pos_cache[key] = (
-                        np.concatenate(parts)
-                        if parts
-                        else np.empty(0, np.int64)
-                    )
+                decs = shard_decodes(key)
+                parts = [
+                    decode_positions(r.positions, f_s)
+                    for r, (_, f_s) in zip(shards, decs)
+                ]
+                pos_cache[key] = (
+                    parts[0]
+                    if len(parts) == 1
+                    else np.concatenate(parts)
+                    if parts
+                    else np.empty(0, np.int64)
+                )
             return pos_cache[key]
 
         def positions_for(key: tuple[str, str], cand: np.ndarray):

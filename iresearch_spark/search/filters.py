@@ -162,7 +162,11 @@ class Phrase(Filter):
         for i, o in enumerate(offs[: len(self.terms)]):
             p = (o if i == 0 else p + 1 + o)
             out.append(p)
-        return tuple(out)
+        # a leading offset is a no-op: the reference subtracts base_offset =
+        # first slot's position (`phrase_filter.cpp:273-284`), so matches at
+        # the very start of a document are not dropped
+        base = out[0] if out else 0
+        return tuple(x - base for x in out)
 
 
 @dataclass(frozen=True)

@@ -149,28 +149,34 @@ class IncrementalIndexer:
         insert-first so a crash between them leaves duplicates visible,
         never lost docs. Both halves are idempotent: a replayed batch id
         skips the insert, and the tombstone step targets exactly the
-        docmeta rows whose (repo, path) is in the batch but whose commit is
-        not — re-running it is a no-op. Re-invoke after a crash to finish.
+        docmeta rows whose (repo, path) is in the batch and that live
+        OUTSIDE the batch's own segments — re-running it is a no-op.
+        Re-invoke after a crash to finish.
         """
         from iresearch_spark.index.build import DOCMETA_SCHEMA
-        from iresearch_spark.index.deletes import mark_deleted
+        from iresearch_spark.index.deletes import mark_deleted_rows
 
         res = self.process_batch(batch_df, batch_id)
+        # the batch's own segment ids (from the manifest on replay): the
+        # tombstone step targets every (repo, path) copy OUTSIDE them, so a
+        # re-shipped IDENTICAL (repo, path, commit) still supersedes its
+        # pre-existing copy instead of duplicating it
+        batch_segs = {
+            s["segment_id"]
+            for s in self._manifest().segments
+            if s.get("lineage", {}).get("batch_id") == batch_id
+        }
         dm = self.spark.read.schema(DOCMETA_SCHEMA).parquet(
             f"{self.index_dir}/docmeta"
         )
         # no broadcast hint: micro-batches are usually small and AQE will
         # pick broadcast itself; forcing it would break on a huge backfill
         old = (
-            dm.join(batch_df.select("repo", "path").distinct(), ["repo", "path"])
-            .join(
-                batch_df.select("repo", "path", "commit").distinct(),
-                ["repo", "path", "commit"],
-                "left_anti",
-            )
-            .select("repo", "path", "commit")
+            dm.filter(~F.col("segment_id").isin(sorted(batch_segs)))
+            .join(batch_df.select("repo", "path").distinct(), ["repo", "path"])
+            .select("segment_id", "doc_id")
         )
-        n = mark_deleted(self.spark, self.index_dir, old)
+        n = mark_deleted_rows(self.spark, self.index_dir, old)
         return {**res, "replaced": n}
 
 

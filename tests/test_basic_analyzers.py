@@ -38,12 +38,12 @@ def test_ngram_range_order():
 
 
 def test_ngram_preserve_original_and_markers():
-    # preserve_original emits the whole input when it's not already a gram
+    # preserve_original emits the whole input at position 0
     out = ngram_analyzer(
         pd.Series(["abcd"]), n_min=2, n_max=2, preserve_original=True
     ).tolist()[0]
-    assert out == ["ab", "bc", "cd", "abcd"]
-    # short input within [min,max] is its own gram — no duplicate original
+    assert out == ["ab", "abcd", "bc", "cd"]
+    # input within [min,max] is its own gram — no duplicate original
     out2 = ngram_analyzer(
         pd.Series(["ab"]), n_min=2, n_max=3, preserve_original=True
     ).tolist()[0]
@@ -53,6 +53,19 @@ def test_ngram_preserve_original_and_markers():
         pd.Series(["abc"]), n_min=2, n_max=2, start_marker="^", end_marker="$"
     ).tolist()[0]
     assert out3 == ["^ab", "bc$"]
+    # whole-input gram with BOTH markers is emitted twice (start- then
+    # end-marked), mirroring the reference's emit-again path
+    out4 = ngram_analyzer(
+        pd.Series(["ab"]), n_min=2, n_max=2, start_marker="^", end_marker="$"
+    ).tolist()[0]
+    assert out4 == ["^ab", "ab$"]
+    # both-marker original emits both variants; empty input emits nothing
+    out5 = ngram_analyzer(
+        pd.Series(["abc", ""]), n_min=2, n_max=2, preserve_original=True,
+        start_marker="^", end_marker="$",
+    ).tolist()
+    assert out5[0] == ["^ab", "^abc", "abc$", "bc$"]
+    assert out5[1] == []
 
 
 def test_norm_lower_single_token():
@@ -90,7 +103,9 @@ def test_phrase_positions_and_terms_pairs():
 
     assert Phrase(terms=("a", "b", "c")).positions() == (0, 1, 2)
     assert Phrase(terms=("a", "b"), offsets=(0, 1)).positions() == (0, 2)
-    assert Phrase(terms=("a", "b", "c"), offsets=(1, 0, 3)).positions() == (1, 2, 6)
+    # leading offset normalized away (phrase_filter.cpp:273 base_offset)
+    assert Phrase(terms=("a", "b", "c"), offsets=(1, 0, 3)).positions() == (0, 1, 5)
+    assert Phrase(terms=("a", "b"), offsets=(2, 0)).positions() == (0, 1)
     # short offsets pad with 0 (adjacent)
     assert Phrase(terms=("a", "b", "c"), offsets=(0, 2)).positions() == (0, 3, 4)
     assert TermsF(terms=("x", ("y", 2.0))).pairs() == (("x", 1.0), ("y", 2.0))

@@ -215,3 +215,24 @@ def test_terms_per_term_boost(engine):
     np.testing.assert_allclose(
         boosted["score"].to_numpy(), expect, rtol=2e-5
     )
+
+
+def test_phrase_leading_offset_is_noop(spark, tmp_path_factory):
+    """A leading phrase offset must NOT drop matches at the start of a doc
+    (phrase_filter.cpp:273 subtracts base_offset)."""
+    import pandas as pd
+
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.search import Phrase
+
+    pdf = pd.DataFrame(
+        {"repo": ["r"], "path": ["p0"], "commit": ["c0"], "lang": ["t"],
+         "content": ["alpha beta gamma"]}
+    )
+    d = str(tmp_path_factory.mktemp("idx_lead"))
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=1)
+    eng = SearchEngine(spark, d)
+    rows = eng.search(
+        Phrase(terms=("alpha", "beta"), offsets=(1, 0)), k=None
+    ).collect()
+    assert [r["path"] for r in rows] == ["p0"]

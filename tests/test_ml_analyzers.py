@@ -92,3 +92,42 @@ def test_minhash_bottom_k_signature():
         for v in h[:8]
     ]
     assert out[0] == expect
+
+
+def test_registered_classification_analyzer_builds_index(spark, tmp_path):
+    """register_analyzer + model= closure: model-backed analyzers must work
+    INSIDE executor workers (the provider global is driver-only)."""
+    from functools import partial
+
+    import pandas as pd
+
+    from iresearch_spark.analysis import register_analyzer
+    from iresearch_spark.analysis.ml import classification_analyzer
+    from iresearch_spark.index import build_index
+    from iresearch_spark.search import SearchEngine, TermF
+
+    register_analyzer(
+        "cls_test",
+        partial(
+            classification_analyzer,
+            model=HashModel(("__label__a", "__label__b")),
+            top_k=1,
+        ),
+    )
+    pdf = pd.DataFrame(
+        {"repo": ["r"] * 6, "path": [f"p{i}" for i in range(6)],
+         "commit": [f"c{i}" for i in range(6)], "lang": ["t"] * 6,
+         "content": [f"document body {i}" for i in range(6)]}
+    )
+    d = str(tmp_path / "idx_cls")
+    build_index(
+        spark, spark.createDataFrame(pdf), d, num_segments=2,
+        analyzer="cls_test",
+    )
+    eng = SearchEngine(spark, d)
+    got = {
+        r["path"]
+        for lbl in ("__label__a", "__label__b")
+        for r in eng.search(TermF(term=lbl), k=None).collect()
+    }
+    assert got == {f"p{i}" for i in range(6)}

@@ -111,3 +111,24 @@ def test_replace_batch_supersedes_old_versions(spark, tmp_path):
     assert res2.get("skipped", False) or res2["replaced"] == 0
     corpus.unpersist()
     updated.unpersist()
+
+
+def test_replace_batch_identical_reship_no_duplicate(spark, tmp_path):
+    """Re-shipping an UNCHANGED (repo, path, commit) in a replace batch must
+    supersede the pre-existing copy, not duplicate it."""
+    d = str(tmp_path / "idx_reship")
+    corpus = generate_corpus(spark, 60, 2).cache()
+    idxer = IncrementalIndexer(spark, d, segments_per_batch=2)
+    idxer.process_batch(corpus, 0)
+
+    same = corpus.limit(10).cache()  # identical rows, same commit
+    res = idxer.replace_batch(same, 1)
+    assert res["replaced"] == 10  # the old copies are tombstoned
+
+    eng = SearchEngine(spark, d)
+    hits = eng.search(TermF(term="import"), k=None).select(
+        "repo", "path", "commit"
+    )
+    assert hits.count() == hits.distinct().count()
+    corpus.unpersist()
+    same.unpersist()
