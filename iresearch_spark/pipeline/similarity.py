@@ -183,7 +183,7 @@ def _ivf_udfs(spark_context, cents: np.ndarray, nprobe: int):
 
 def ivf_topk(
     emb: DataFrame, query_pred, k: int = 10, nlist: int = 16, nprobe: int = 4,
-    iters: int = 3, dim: int = 64,
+    iters: int = 3, dim: int = 64, centroids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF approximate NN: coarse k-means quantizer partitions the corpus
     into nlist cells; each query scans only its nprobe nearest cells, then
@@ -191,7 +191,13 @@ def ivf_topk(
     family fits poorly: candidates ∝ n * nprobe / nlist, and the cell join
     replaces the O(n·q) crossJoin. Cell assignment and probe ordering run
     in Arrow-batched numpy kernels against a broadcast centroid matrix."""
-    cents = train_ivf_centroids(emb, nlist, iters, dim)
+    # train-once-query-many: pass pre-trained ``centroids`` (from
+    # train_ivf_centroids) to skip the Lloyd passes per query
+    cents = (
+        centroids
+        if centroids is not None
+        else train_ivf_centroids(emb, nlist, iters, dim)
+    )
     cell_of, probes_of = _ivf_udfs(
         emb.sparkSession.sparkContext, cents, nprobe
     )

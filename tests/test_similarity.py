@@ -64,3 +64,19 @@ def test_ivf_nlist_256_no_literal_blowup(emb, exact):
         emb, F.col("vec_id") < 10, 10, nlist=256, nprobe=64, iters=2
     ).toPandas()
     assert _recall(approx, exact) >= 0.6
+
+
+def test_ivf_pretrained_centroids_reused(spark, emb):
+    from iresearch_spark.pipeline.similarity import ivf_topk, train_ivf_centroids
+    from pyspark.sql import functions as F
+
+    pred = F.col("vec_id") < 3
+    cents = train_ivf_centroids(emb, nlist=8, iters=2)
+    a = ivf_topk(emb, pred, k=5, nlist=8, nprobe=3, iters=2).toPandas()
+    b = ivf_topk(
+        emb, pred, k=5, nlist=8, nprobe=3, centroids=cents
+    ).toPandas()
+    key = ["qid", "cid", "cosine", "rnk"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
