@@ -238,3 +238,49 @@ def test_resharded_segment_remerges_correctly(spark, tmp_path):
         for r in eng1.search(TermF(term="common"), k=30).collect()
     ]
     assert after == before
+
+
+def test_sharded_merge_purges_tombstones(spark, tmp_path):
+    """shard_docs + deletes: the purge renumber and the shard split must
+    compose — tombstoned docs vanish, survivors keep their relative ranks."""
+    import pandas as pd
+
+    from iresearch_spark.index import mark_deleted, merge_segments
+    from iresearch_spark.search import SearchEngine, TermF
+
+    rows = [
+        ("r", f"p{i:04d}", f"c{i:04d}", "t",
+         f"common {'common ' * (i % 4)}tok{i % 13}")
+        for i in range(500)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["repo", "path", "commit", "lang", "content"]
+    )
+    d = str(tmp_path / "idx_shard_del")
+    build_index(spark, spark.createDataFrame(pdf), d, num_segments=2)
+
+    victims = spark.createDataFrame(pdf.iloc[::7][["repo", "path", "commit"]])
+    n = mark_deleted(spark, d, victims)
+    assert n == len(pdf.iloc[::7])
+
+    merge_segments(spark, d, [0, 1], shard_docs=128)
+    eng1 = SearchEngine(spark, d)
+    after = sorted(
+        (r["path"], round(r["score"], 6))
+        for r in eng1.search(TermF(term="common"), k=None).collect()
+    )
+    dead = {f"p{i:04d}" for i in range(0, 500, 7)}
+    assert not any(p in dead for p, _ in after)
+
+    # purge updates global stats, so the gate is equality with an index
+    # built FRESH over only the live docs (scores are segmentation- and
+    # shard-invariant thanks to manifest-global BM25 stats)
+    live_pdf = pdf[~pdf.index.isin(pdf.iloc[::7].index)]
+    d2 = str(tmp_path / "idx_live")
+    build_index(spark, spark.createDataFrame(live_pdf), d2, num_segments=3)
+    eng2 = SearchEngine(spark, d2)
+    fresh = sorted(
+        (r["path"], round(r["score"], 6))
+        for r in eng2.search(TermF(term="common"), k=None).collect()
+    )
+    assert after == fresh
