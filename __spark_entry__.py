@@ -852,7 +852,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE round(i / (sa.n + sb.n - i)::DOUBLE, 4) >= 0.5
+WHERE i / (sa.n + sb.n - i)::DOUBLE >= 0.5
 """
     o["text_token_stats"] = f"""
 SELECT doc_id,

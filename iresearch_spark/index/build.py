@@ -106,9 +106,15 @@ def make_dl_expr(analyzer: str, column: str = "content"):
 
     @F.pandas_udf("int")
     def dl_udf(s: pd.Series) -> pd.Series:
-        return fn(s.fillna("")).str.len().astype("int32")
+        # no string coalesce here: a non-string column (e.g. a numeric field
+        # under the `numeric` analyzer) must keep its NULLs as NULLs so the
+        # analyzer's own null handling applies ("nulls index nothing",
+        # numeric.py) — coercing to '' would crash int('')
+        if s.dtype == object:
+            s = s.fillna("")
+        return fn(s).str.len().astype("int32")
 
-    return dl_udf(F.coalesce(F.col(column), F.lit("")))
+    return dl_udf(F.col(column))
 
 
 HASH_SEGMENTS_SCHEMA = (

@@ -60,20 +60,70 @@ def manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest.json")
 
 
+def generations_dir(index_dir: str) -> str:
+    return os.path.join(index_dir, "generations")
+
+
+def generation_path(index_dir: str, generation: int) -> str:
+    return os.path.join(generations_dir(index_dir), f"gen-{generation:06d}.json")
+
+
+def list_generations(index_dir: str) -> list[int]:
+    """Committed generation numbers, ascending (the reference's retained
+    ``segments_N`` files, `core/index/index_reader.hpp:35-153`)."""
+    d = generations_dir(index_dir)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(n[len("gen-"):-len(".json")])
+        for n in os.listdir(d)
+        if n.startswith("gen-") and n.endswith(".json")
+    )
+
+
 def write_manifest(index_dir: str, manifest: Manifest) -> None:
+    """Atomic publish (== Commit()): write-tmp-then-rename ``manifest.json``
+    AND retain a numbered copy under ``generations/`` — the reference keeps
+    every committed ``segments_N`` on disk until the directory cleaner runs,
+    which is what makes point-in-time reopen possible. The generation number
+    lives only in the filename so the canonical ``manifest.json`` bytes stay
+    resume-deterministic (FIXTURES.md F6)."""
+    payload = manifest.to_json()
+    gens = list_generations(index_dir)
+    gen = (gens[-1] + 1) if gens else 1
+    os.makedirs(generations_dir(index_dir), exist_ok=True)
+    gpath = generation_path(index_dir, gen)
+    with open(gpath + ".tmp", "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(gpath + ".tmp", gpath)
     path = manifest_path(index_dir)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        f.write(manifest.to_json())
+        f.write(payload)
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, path)  # atomic publish == Commit()
 
 
-def read_manifest(index_dir: str) -> Manifest | None:
-    path = manifest_path(index_dir)
-    if not os.path.exists(path):
-        return None
+def read_manifest(index_dir: str, generation: int | None = None) -> Manifest | None:
+    """Latest committed manifest, or — point-in-time — the retained
+    ``generation`` (reopen of any committed snapshot,
+    `core/index/index_reader.hpp:35-153`). PIT reads require the referenced
+    segment data to still exist: pass ``cleanup=False`` to merges (the
+    analogue of holding a reader so the directory cleaner keeps the files)."""
+    if generation is not None:
+        path = generation_path(index_dir, generation)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"generation {generation} not retained in {index_dir}; "
+                f"have {list_generations(index_dir)}"
+            )
+    else:
+        path = manifest_path(index_dir)
+        if not os.path.exists(path):
+            return None
     with open(path) as f:
         d = json.load(f)
     return Manifest(

@@ -437,7 +437,9 @@ def merge_segments(
         spark.read.parquet(f"{index_dir}/segments")
         .filter(F.col("segment_id") == new_id)
         .agg(
-            F.count("*").alias("terms"),
+            # distinct (field, term): with shard_docs a big term is written
+            # as several rows; the dictionary-size stat must count it once
+            F.countDistinct("field", "term").alias("terms"),
             F.sum("docs_count").alias("sum_doc_freq"),
             F.sum(F.length("postings")).alias("postings_bytes"),
             F.min("term").alias("min_term"),

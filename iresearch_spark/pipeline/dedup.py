@@ -147,11 +147,16 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.15) -> DataFrame:
     )
     inter_n = F.size(F.array_intersect("grams_a", "grams_b"))
     jac = inter_n / (F.col("na") + F.col("nb") - inter_n).cast("double")
+    # threshold on the UNROUNDED jaccard: the prefix filter guarantees
+    # recall only for true jac >= t, so thresholding on round(jac, 4) would
+    # admit pairs in [t - 5e-5, t) that candidate generation may have missed
+    # (rounding is display-only)
     result = (
         cand.join(ga, "doc_a")
         .join(gb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .withColumn("jac_raw", jac)
+        .filter(F.col("jac_raw") >= threshold)
+        .select("doc_a", "doc_b", F.round(F.col("jac_raw"), 4).alias("jaccard"))
     )
     result = result.localCheckpoint(eager=True)
     gram_sets.unpersist(blocking=False)

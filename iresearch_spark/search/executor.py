@@ -88,14 +88,30 @@ class _Prepared:
 
 
 class SearchEngine:
-    def __init__(self, spark: SparkSession, index_dir: str, scorer=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        scorer=None,
+        generation: int | None = None,
+    ):
+        """``generation``: point-in-time read of a retained committed
+        snapshot (`core/index/index_reader.hpp:35-153` reopens any
+        ``segments_N``); None == latest. Every scan is restricted to the
+        pinned manifest's segment set, so pre-merge segments retained with
+        ``merge_segments(cleanup=False)`` read exactly as committed.
+        Tombstones are NOT versioned: the document mask is always the
+        current deletes table (documented deviation — the reference
+        versions masks per segment meta)."""
         self.spark = spark
         self.index_dir = index_dir
         self.scorer = scorer or BM25()
-        m = read_manifest(index_dir)
+        self.generation = generation
+        m = read_manifest(index_dir, generation)
         if m is None:
             raise FileNotFoundError(f"no manifest in {index_dir}")
         self.manifest = m
+        self._seg_ids = sorted(int(s["segment_id"]) for s in m.segments)
         self.field = m.field_name
         # per-field GLOBAL stats (multi-field: segment_writer.hpp:91-119);
         # primary field stats live at the segment record's top level,
@@ -116,14 +132,52 @@ class SearchEngine:
                 )
             self.field_stats[name] = (dwf, ttf)
         self.docs_with_field, self.total_term_freq = self.field_stats[self.field]
-        # proxy_filter cache: repr(filter) -> persisted full match set
+        # proxy_filter cache: repr(filter) -> persisted full match set.
+        # Snapshot semantics: entries bake in the document mask at
+        # materialization time; a new manifest publish (delete/merge/commit)
+        # invalidates the cache via the stamp check in _search_proxy.
         self._proxy_cache: dict[tuple, DataFrame] = {}
         self.proxy_hits = 0
+        self._manifest_stamp = self._stamp()
+
+    def _stamp(self) -> tuple:
+        """(mtime_ns, size) of the manifest file this engine reads — cheap
+        change detector for cache invalidation on manifest publish."""
+        import os
+
+        from iresearch_spark.index.manifest import (
+            generation_path,
+            manifest_path,
+        )
+
+        p = (
+            generation_path(self.index_dir, self.generation)
+            if self.generation is not None
+            else manifest_path(self.index_dir)
+        )
+        st = os.stat(p)
+        return (st.st_mtime_ns, st.st_size)
+
+    def _seg_filter(self, df: DataFrame) -> DataFrame:
+        """Restrict a per-segment table scan to the pinned manifest's
+        segment set — partition pruning on the segment_id partition column,
+        and the correctness guard that makes retained (merged-away or
+        not-yet-committed) segment directories invisible."""
+        return df.filter(F.col("segment_id").isin(self._seg_ids))
 
     def _resolve_field(self, name: str) -> str:
-        """Leaf field resolution: unknown names fall back to the primary
-        field (legacy filters default to field_name='content')."""
-        return name if name in self.field_stats else self.field
+        """Leaf field resolution: only the legacy default 'content' falls
+        back to the primary field (filter dataclasses default to
+        field_name='content'); any other unknown name is a user error and
+        raises instead of silently searching the primary field."""
+        if name in self.field_stats:
+            return name
+        if name == "content":
+            return self.field
+        raise KeyError(
+            f"unknown field {name!r}; indexed fields: "
+            f"{sorted(self.field_stats)}"
+        )
 
     # ------------------------------------------------------------- helpers
     def segments_df(self, with_positions: bool) -> DataFrame:
@@ -133,7 +187,7 @@ class SearchEngine:
         ]
         if with_positions:
             cols += ["positions", "pos_offsets"]
-        return (
+        return self._seg_filter(
             self.spark.read.schema(SEGMENTS_SCHEMA)
             .parquet(f"{self.index_dir}/segments")
             .select(*cols)
@@ -149,7 +203,7 @@ class SearchEngine:
         from iresearch_spark.index.build import docmeta_schema
 
         extra = [n for n in self.field_stats if n != self.field]
-        base = (
+        base = self._seg_filter(
             self.spark.read.schema(docmeta_schema(extra))
             .parquet(f"{self.index_dir}/docmeta")
             .select(
@@ -168,8 +222,10 @@ class SearchEngine:
         return base.withColumn("deleted", F.lit(False))
 
     def docmeta_df(self) -> DataFrame:
-        return self.spark.read.schema(DOCMETA_SCHEMA).parquet(
-            f"{self.index_dir}/docmeta"
+        return self._seg_filter(
+            self.spark.read.schema(DOCMETA_SCHEMA).parquet(
+                f"{self.index_dir}/docmeta"
+            )
         )
 
     @staticmethod
@@ -248,8 +304,10 @@ class SearchEngine:
         sel = [F.col("field"), F.col("term"), F.col("df")]
         sel += [p.alias(f"m{i}") for i, p in enumerate(leaf_preds)]
         rows = (
-            self.spark.read.schema(SEGMENTS_SCHEMA)
-            .parquet(f"{self.index_dir}/segments")
+            self._seg_filter(
+                self.spark.read.schema(SEGMENTS_SCHEMA)
+                .parquet(f"{self.index_dir}/segments")
+            )
             .filter(combined)
             .groupBy("field", "term")
             .agg(F.sum("docs_count").alias("df"))
@@ -618,7 +676,16 @@ class SearchEngine:
         """proxy_filter (`core/search/proxy_filter.cpp`): materialize the
         wrapped filter's FULL match set once (persisted (segment, doc,
         score) rows — the reference's cached bitset, with scores so any k
-        can be served), reuse it for every subsequent execution."""
+        can be served), reuse it for every subsequent execution.
+
+        Cache validity is tied to the manifest snapshot: a publish (e.g.
+        ``mark_deleted``, merge, new commit) changes the manifest file, and
+        the stamp check here drops every cached match set so deletes are
+        never served from a stale proxy."""
+        stamp = self._stamp()
+        if stamp != self._manifest_stamp:
+            self.clear_proxy_cache()
+            self._manifest_stamp = stamp
         key = (repr(f.child), dtype)
         cached = self._proxy_cache.get(key)
         if cached is None:

@@ -52,7 +52,9 @@ def numeric_analyzer(s: pd.Series) -> pd.Series:
     trie term list; nulls index nothing."""
 
     def conv(x) -> list[str]:
-        if x is None or (isinstance(x, float) and x != x):
+        # nulls index nothing — accept None/NaN/pd.NA and '' (a NULL that
+        # was string-coerced upstream) without raising
+        if x is None or x == "" or pd.isna(x):
             return []
         return numeric_terms(int(x))
 

@@ -46,6 +46,33 @@ def test_proxy_identical_results_and_cache_hit(setup):
     eng.clear_proxy_cache()
 
 
+def test_proxy_cache_invalidated_by_manifest_publish(spark, tmp_path):
+    """A delete publishes a new manifest generation; the proxy cache must
+    drop its snapshot instead of serving tombstoned docs forever."""
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.index.deletes import mark_deleted
+
+    d = str(tmp_path / "idx_proxy_inval")
+    corpus = generate_corpus(spark, 60, num_partitions=2, min_tokens=30,
+                             max_tokens=120)
+    build_index(spark, corpus, d, num_segments=2)
+    eng = SearchEngine(spark, d)
+    q = TermF(term="import")
+    before = _rows(eng.search(Proxy(child=q), k=None))
+    assert before
+    victim = before[0][:3]
+    mark_deleted(
+        spark, d,
+        spark.createDataFrame([victim], ["repo", "path", "commit"]),
+    )
+    after = _rows(eng.search(Proxy(child=q), k=None))
+    direct = _rows(eng.search(q, k=None))
+    assert victim not in {r[:3] for r in after}
+    assert after == direct  # proxy == fresh execution post-publish
+    eng.clear_proxy_cache()
+
+
 def test_proxy_boost_scales_scores(setup):
     eng, _ = setup
     q = TermF(term="import")
