@@ -28,3 +28,4 @@ from iresearch_spark.search.highlight import (  # noqa: F401
     highlight_matches,
     tokenize_with_offsets,
 )
+from iresearch_spark.search.nested import nested_match  # noqa: F401

@@ -29,9 +29,28 @@ import numpy as np
 
 @dataclass(frozen=True)
 class BM25:
+    """``norm="norm2"`` (default) is the modern path: tf = freq, |doc| = dl.
+    ``norm="legacy"`` is the old-index `Norm` variant (`bm25.hpp:38-43`):
+    tf = sqrt(freq) (the kSQRT cache, bm25.cpp:83-84) and |doc| = sqrt(dl) —
+    the stored norm is float32(1/sqrt(dl)) and the scorer inverts it
+    (`bm25.cpp:243-248` BM25NormAdapter), so the float32 mode reproduces the
+    double rounding of store-then-invert."""
+
     k: float = 1.2  # bm25.hpp:63
     b: float = 0.75  # bm25.hpp:65
     name: str = "bm25"
+    norm: str = "norm2"
+
+    def _dl_eff(self, dls, dtype):
+        if self.norm == "legacy":
+            stored = (dtype(1.0) / np.sqrt(dls.astype(dtype))).astype(dtype)
+            return (dtype(1.0) / stored).astype(dtype)
+        return dls.astype(dtype)
+
+    def _tf_eff(self, freqs, dtype):
+        if self.norm == "legacy":
+            return np.sqrt(freqs.astype(dtype)).astype(dtype)
+        return freqs.astype(dtype)
 
     def field_consts(self, docs_with_field: int, total_term_freq: int, dtype=np.float32):
         k = dtype(self.k)
@@ -56,16 +75,18 @@ class BM25:
         return dtype(dtype(boost) * dtype(dtype(self.k) + dtype(1.0)) * idf)
 
     def score(self, freqs, dls, c0, norm_const, norm_length, dtype=np.float32):
-        tf = freqs.astype(dtype)
-        c1 = norm_const + norm_length * dls.astype(dtype)
+        tf = self._tf_eff(freqs, dtype)
+        c1 = norm_const + norm_length * self._dl_eff(dls, dtype)
         return c0 - c0 * c1 / (c1 + tf)
 
     def block_upper_bound(self, max_freqs, min_norms, c0, norm_const, norm_length,
                           dtype=np.float32):
         """Per-block competitive score (kWandTagMinNorm: max freq + min norm,
         wand_writer.hpp:137-151): BM25 is increasing in tf and decreasing in
-        dl, so (max_freq, min_dl) bounds every score in the block. One
-        nextafter step guards against fp non-monotonicity at equal inputs."""
+        dl (sqrt is monotone, so the legacy variant keeps both
+        monotonicities), so (max_freq, min_dl) bounds every score in the
+        block. One nextafter step guards against fp non-monotonicity at
+        equal inputs."""
         ub = self.score(
             np.asarray(max_freqs), np.asarray(min_norms), c0, norm_const,
             norm_length, dtype,

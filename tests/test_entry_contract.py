@@ -71,6 +71,20 @@ def test_query_vs_oracle(spark, ducks, name):
     assert cg == ce, f"{name}: first mismatches {mismatch}"
 
 
+def test_oracled_entries_precede_rows_only_tail():
+    """CORRECTNESS_r02 recorded exactly 50 of 54 queries() entries — the
+    tail fell off the driver's check. Guard: every oracled entry must come
+    BEFORE every rows-only entry in queries() insertion order, so a bounded
+    prefix check always covers the full oracled set."""
+    order = list(QUERIES)
+    oracled_idx = [order.index(n) for n in ORACLES]
+    rows_only_idx = [order.index(n) for n in set(QUERIES) - set(ORACLES)]
+    assert max(oracled_idx) < min(rows_only_idx), (
+        "rows-only entry registered before an oracled one"
+    )
+    assert max(oracled_idx) < 50, "oracled entry outside the first 50 slots"
+
+
 def test_rows_only_queries_run(spark):
     for name in sorted(set(QUERIES) - set(ORACLES)):
         df = QUERIES[name](spark, SF_DIR)
