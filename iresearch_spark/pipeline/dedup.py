@@ -352,57 +352,170 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def simhash_pairs(
-    docs: DataFrame, max_hamming: int = 3, bands: int = 4
-) -> DataFrame:
-    """Near-duplicate pairs by SimHash Hamming distance, banded.
+def _band_combo_keys(blocks: int, keep: int, col: str = "simhash"):
+    """Manku-style multi-table keys (Manku/Jain/Das Sarma, WWW'07 §3): split
+    the 64-bit signature into ``blocks`` equal slices and emit one key per
+    ``keep``-subset of slices (the concatenation of those slices' bits).
+    Pigeonhole: a pair with hamming <= blocks-keep differs in at most
+    blocks-keep slices, so it agrees on ALL slices of at least one subset
+    and collides on that table's key."""
+    from itertools import combinations
 
-    Pigeonhole: splitting the 64-bit signature into ``bands`` equal slices
-    guarantees every pair with hamming <= bands-1 collides on at least one
-    slice, so the candidate join is on (band, slice value) — no all-pairs
-    anywhere; popcount(xor) verifies exactly. Defaults (4 bands of 16 bits)
-    are complete for max_hamming <= 3 — the classic Charikar/web-crawl
-    setting. All JVM-side (shift/mask/bit_count), signatures via the
-    vectorized kernel above.
-    """
-    if max_hamming > bands - 1:
-        raise ValueError(
-            f"bands={bands} only guarantees recall for hamming <= {bands - 1}"
-        )
-    # both sides of the self-join read the signatures — persist so the
-    # tokenize+vote kernel runs once, not once per side
-    sig = simhash_signatures(docs).persist()
-    width = 64 // bands
+    width = 64 // blocks
     mask = (1 << width) - 1
-    slices = F.array(
-        *[
+    slices = [
+        F.shiftright(F.col(col), i * width).bitwiseAND(F.lit(mask))
+        for i in range(blocks)
+    ]
+    keys = []
+    for combo in combinations(range(blocks), keep):
+        key = F.lit(0).cast("long")
+        for j, i in enumerate(combo):
+            key = key.bitwiseOR(F.shiftleft(slices[i], j * width))
+        keys.append(key)
+    return keys
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    expand: str = "pairs",
+    blocks: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, banded over
+    DISTINCT signatures.
+
+    Two-level plan (the scale shape; cf. Manku/Jain/Das Sarma WWW'07):
+
+    1. **Collapse identical signatures.** Boilerplate/near-empty documents
+       produce identical 64-bit signatures in huge groups; joining at the
+       document level makes every such group a quadratic hot bucket. The
+       banded candidate join therefore runs over ``groupBy(simhash)``
+       output — one row per DISTINCT signature — so candidate-join cost is
+       bounded by distinct-signature counts, independent of how many
+       documents share a signature.
+    2. **Banded candidate join** on (band, slice value): splitting the
+       signature into ``bands`` equal slices guarantees every signature
+       pair with hamming <= bands-1 collides on at least one slice;
+       popcount(xor) verifies exactly. All JVM-side expressions.
+    3. **Expansion back to documents.** ``expand="pairs"`` (default)
+       emits every qualifying document pair — faithful to brute force, but
+       inherently quadratic in group size when g docs share a signature
+       (the OUTPUT is g*(g-1)/2 rows; no join stage is quadratic beyond
+       that output). ``expand="star"`` is the 10^9-document shape: within
+       an identical-signature group it links members to the group's
+       representative (min doc_id), and across signature groups it links
+       representative to representative — O(docs + signature-pairs) edges
+       with the same connected components (dedup clusters) as "pairs".
+
+    ``blocks``: when set (> max_hamming), use Manku multi-table keys
+    instead of single-slice bands — C(blocks, blocks-max_hamming) tables
+    keyed on (blocks-max_hamming)*(64/blocks) bits each. E.g. blocks=6,
+    max_hamming=3 gives 20 tables of ~32-bit keys: bucket population drops
+    from distinct_sigs/2^16 to distinct_sigs/2^32, the knob to turn when
+    distinct-signature volume makes single-slice buckets hot.
+    """
+    if expand not in ("pairs", "star"):
+        raise ValueError(f"expand must be 'pairs' or 'star', got {expand!r}")
+    # signatures feed the group collapse and both expansion sides — persist
+    # so the tokenize+vote kernel runs once (at real scale: a staging write)
+    sig = simhash_signatures(docs).persist()
+    groups = sig.groupBy("simhash").agg(
+        F.min("doc_id").alias("rep"), F.count("*").alias("n_members")
+    )
+    if blocks is not None:
+        if blocks <= max_hamming:
+            raise ValueError(
+                f"blocks={blocks} must exceed max_hamming={max_hamming}"
+            )
+        keys = _band_combo_keys(blocks, blocks - max_hamming)
+    else:
+        if max_hamming > bands - 1:
+            raise ValueError(
+                f"bands={bands} only guarantees recall for hamming <= "
+                f"{bands - 1}"
+            )
+        width = 64 // bands
+        mask = (1 << width) - 1
+        keys = [
             F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask))
             for i in range(bands)
         ]
-    )
-    buckets = sig.select(
-        "doc_id", "simhash", F.posexplode(slices).alias("band", "bval")
+    buckets = groups.select(
+        "simhash", F.posexplode(F.array(*keys)).alias("band", "bval")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
-    result = (
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .filter(ham <= max_hamming)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
             ham.alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["sig_a", "sig_b"])
     )
+    multi = groups.filter(F.col("n_members") >= 2)
+    if expand == "pairs":
+        # cross-signature: members of sig_a x members of sig_b
+        ma = sig.select(F.col("simhash").alias("sig_a"), F.col("doc_id").alias("da"))
+        mb = sig.select(F.col("simhash").alias("sig_b"), F.col("doc_id").alias("db"))
+        cross = (
+            sig_pairs.join(ma, "sig_a")
+            .join(mb, "sig_b")
+            .select(
+                F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"),
+                "hamming",
+            )
+        )
+        # within-group (hamming 0): members of multi-doc signature groups
+        # only — singletons never reach the self-join (semi-join prune; AQE
+        # picks broadcast when the multi-group side is small)
+        mm = sig.join(multi.select("simhash"), "simhash", "semi")
+        within = (
+            mm.alias("x")
+            .join(
+                mm.alias("y"),
+                (F.col("x.simhash") == F.col("y.simhash"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+    else:  # star
+        ra = groups.select(F.col("simhash").alias("sig_a"), F.col("rep").alias("doc_a"))
+        rb = groups.select(F.col("simhash").alias("sig_b"), F.col("rep").alias("doc_b"))
+        cross = (
+            sig_pairs.join(ra, "sig_a")
+            .join(rb, "sig_b")
+            .select(
+                F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"),
+                "hamming",
+            )
+        )
+        within = (
+            sig.join(multi, "simhash")
+            .filter(F.col("doc_id") != F.col("rep"))
+            .select(
+                F.col("rep").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.lit(0).alias("hamming"),
+            )
+        )
+    result = cross.unionByName(within).dropDuplicates(["doc_a", "doc_b"])
     result = result.localCheckpoint(eager=True)
     sig.unpersist(blocking=False)
     return result

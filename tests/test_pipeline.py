@@ -132,6 +132,78 @@ def test_simhash_pairs_rejects_impossible_threshold(docs_df):
         simhash_pairs(docs_df, max_hamming=4, bands=4)
 
 
+def test_simhash_pairs_manku_blocks_match_banded(docs_df):
+    """Manku multi-table keys (blocks=6 -> C(6,3)=20 tables of 32-bit keys)
+    must return the same exact pair set as single-slice bands."""
+    from iresearch_spark.pipeline.dedup import simhash_pairs
+
+    banded = simhash_pairs(docs_df, max_hamming=3, bands=4).toPandas()
+    manku = simhash_pairs(docs_df, max_hamming=3, blocks=6).toPandas()
+    key = lambda p: sorted(zip(p.doc_a, p.doc_b, p.hamming))  # noqa: E731
+    assert key(banded) == key(manku)
+
+
+def test_simhash_pairs_identical_group_no_quadratic_candidates(spark):
+    """10^4 documents sharing one signature: the banded candidate join runs
+    over DISTINCT signatures, so candidate volume stays O(distinct^2/2^16)
+    — not O(docs^2). star expansion emits O(docs) edges with the same
+    connected components."""
+    import time
+
+    from iresearch_spark.pipeline.dedup import simhash_pairs
+
+    n = 10_000
+    pdf = pd.DataFrame({
+        "doc_id": range(n + 2),
+        # n+0..n-1: identical boilerplate; n, n+1: distinct fillers
+        "text": ["lorem ipsum dolor sit amet boilerplate header"] * n
+        + ["alpha bravo charlie delta echo", "foxtrot golf hotel india"],
+    })
+    docs = spark.createDataFrame(pdf)
+    t0 = time.perf_counter()
+    star = simhash_pairs(docs, max_hamming=3, bands=4, expand="star").toPandas()
+    elapsed = time.perf_counter() - t0
+    # star: one edge per non-representative member (+ any cross edges)
+    within = star[star.hamming == 0]
+    assert len(within) == n - 1
+    assert set(within.doc_a) == {0}  # min doc_id is the representative
+    assert set(within.doc_b) == set(range(1, n))
+    # a quadratic candidate stage would emit ~5*10^7 pairs and blow the
+    # runtime; the distinct-signature plan finishes in seconds
+    assert elapsed < 60, f"took {elapsed:.0f}s — quadratic stage suspected"
+
+
+def test_simhash_pairs_star_same_components_as_pairs(docs_df):
+    """star expansion must produce the same connected components (dedup
+    clusters) as full pair expansion."""
+    from iresearch_spark.pipeline.dedup import simhash_pairs
+
+    def components(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+        groups: dict[int, set] = {}
+        for x in parent:
+            groups.setdefault(find(x), set()).add(x)
+        return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+    pairs = simhash_pairs(docs_df, max_hamming=3, bands=4).toPandas()
+    star = simhash_pairs(docs_df, max_hamming=3, bands=4, expand="star").toPandas()
+    assert components(zip(pairs.doc_a, pairs.doc_b)) == components(
+        zip(star.doc_a, star.doc_b)
+    )
+
+
 def test_ngram_prefix_filter_matches_naive(docs_df, spark):
     """Prefix-filtered ngram_jaccard_pairs must return the identical pair
     set as a brute-force all-pairs computation."""
