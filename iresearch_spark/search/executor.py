@@ -257,17 +257,44 @@ class SearchEngine:
                 )
             return pred
         if isinstance(leaf, Fuzzy):
+            from functools import reduce
+            from operator import or_
+
+            q = leaf.term
             lev_cap = leaf.max_distance * (
                 2 if leaf.with_transpositions else 1
             )
-            return (
-                (F.length("term") >= len(leaf.term) - leaf.max_distance)
-                & (F.length("term") <= len(leaf.term) + leaf.max_distance)
-                & (
-                    F.levenshtein(F.col("term"), F.lit(leaf.term))
-                    <= lev_cap
+            length_pred = (
+                F.length("term") >= len(q) - leaf.max_distance
+            ) & (F.length("term") <= len(q) + leaf.max_distance)
+            # Alignment prefilter standing in for the reference's parametric
+            # Levenshtein-automaton ∩ FST walk (levenshtein_filter.cpp:
+            # 137-263), which only touches feasible dictionary prefixes.
+            # NOTE a first-character startswith prune would be UNSOUND: an
+            # insertion at position 0 ("xspark" vs "spark", d=1) admits ANY
+            # first character, so no prefix range can be skipped outright.
+            # The sound pigeonhole: if lev(m, q) <= cap, the first cap+1
+            # chars of m cannot all be edits (each costs 1), so some m[j]
+            # (j <= cap) is an exact MATCH of some q[i] with |i-j| <= cap.
+            # That membership test is a handful of substring/IN ops —
+            # Catalyst's And short-circuits in codegen, so terms failing it
+            # (the overwhelming majority of a big dictionary) never reach
+            # the Levenshtein DP at all.
+            branches = [
+                F.substring("term", j + 1, 1).isin(
+                    sorted(set(q[: j + lev_cap + 1]))
                 )
+                for j in range(lev_cap + 1)
+            ]
+            # terms shorter than cap+1 chars can be all-edits: let them
+            # through to the exact check
+            prefilter = (F.length("term") <= lev_cap) | reduce(or_, branches)
+            # banded DP: threshold arg makes levenshtein O(cap*len) and
+            # early-exits with -1 past the cap, instead of the full O(len^2)
+            lev_ok = (
+                F.levenshtein(F.col("term"), F.lit(q), lev_cap) > -1
             )
+            return length_pred & prefilter & lev_ok
         raise TypeError(leaf)  # pragma: no cover
 
     def _batch_lookup(

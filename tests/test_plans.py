@@ -68,6 +68,63 @@ def test_positions_column_pruned_unless_phrase(engine):
     assert any("positions" in line for line in seg_reads_ph), seg_reads_ph
 
 
+def test_fuzzy_dictionary_scan_uses_banded_lev_and_prefilter(engine):
+    """The fuzzy dictionary expansion must not run a full O(len^2)
+    Levenshtein DP on every dictionary term: the scan predicate carries
+    (a) the banded THRESHOLDED levenshtein (3-arg form — O(cap*len),
+    early-exit past the cap) and (b) the cheap substring char-membership
+    prefilter placed before it in the And chain, which codegen
+    short-circuits so most terms never reach the DP. (A first-character
+    StartsWith prune would be unsound: an insertion at position 0 admits
+    any first character.)"""
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.search import Fuzzy
+    from iresearch_spark.search.executor import SearchEngine as SE
+
+    pred = SE._leaf_pred(Fuzzy(term="import", max_distance=1))
+    df = (
+        engine.spark.read.parquet(f"{engine.index_dir}/segments")
+        .select("term")
+        .filter(pred)
+    )
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "levenshtein(term" in plan and ", 1)" in plan, plan
+    assert "substring(term" in plan, plan
+    # prefilter must precede the DP in the conjunction (short-circuit order)
+    assert plan.index("substring(term") < plan.index("levenshtein(term"), plan
+
+
+def test_fuzzy_prefilter_sound_at_position_zero(spark, tmp_path_factory):
+    """Edits AT the first character must survive the alignment prefilter:
+    substitution ('xpark'), insertion ('zspark'), and deletion ('park')
+    are all distance 1 from 'spark' and must be found."""
+    from iresearch_spark.search import Fuzzy
+
+    d = str(tmp_path_factory.mktemp("idx_fz0"))
+    rows = [
+        ("r", f"f{i}.py", "c", "py", txt)
+        for i, txt in enumerate(
+            ["spark engine", "xpark engine", "zspark engine",
+             "park engine", "quark engine", "totally unrelated words"]
+        )
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, "
+              "content string"
+    )
+    build_index(spark, corpus, d, num_segments=1)
+    eng = SearchEngine(spark, d)
+    hits = {
+        r["path"] for r in eng.search(
+            Fuzzy(term="spark", max_distance=1), k=None
+        ).collect()
+    }
+    assert {"f0.py", "f1.py", "f2.py", "f3.py"} <= hits
+    # 'quark' is distance 2 (two substitutions) — out at d=1
+    assert "f4.py" not in hits and "f5.py" not in hits
+
+
 def test_identity_join_broadcasts_only_bounded_topk(engine):
     bounded = _optimized(engine.search(TermF(term="import"), k=5))
     unbounded = _optimized(engine.search(TermF(term="import"), k=None))
