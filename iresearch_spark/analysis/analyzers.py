@@ -159,6 +159,7 @@ def text_analyzer(
     min_gram: int | None = None,
     max_gram: int | None = None,
     preserve_original: bool = False,
+    unicode_break: bool = False,
 ) -> pd.Series:
     """`text` analyzer pipeline in the REFERENCE's stage order
     (`text_token_stream.cpp:355-420 process_term`): word split -> lower ->
@@ -171,10 +172,22 @@ def text_analyzer(
     additionally emitted whole only under ``preserve_original``.
 
     Stemming is per-distinct-token via a memo dict (dictionary-level, not
-    per-occurrence), keeping the Python cost O(vocab) per batch."""
+    per-occurrence), keeping the Python cost O(vocab) per batch.
+
+    ``unicode_break=True`` swaps the regex word split for real UAX#29
+    segmentation (the reference's text analyzer delegates word breaks to
+    ICU, `text_token_stream.cpp`); needed for CJK/Thai/mixed scripts where
+    the regex and UAX#29 disagree."""
     from iresearch_spark.analysis.stem import stem_english, strip_accents
 
-    toks = s.fillna("").str.lower().str.findall(TEXT_TOKEN_PATTERN)
+    if unicode_break:
+        from iresearch_spark.analysis.segmentation import (
+            unicode_segmentation_analyzer,
+        )
+
+        toks = unicode_segmentation_analyzer(s, case="lower")
+    else:
+        toks = s.fillna("").str.lower().str.findall(TEXT_TOKEN_PATTERN)
     memo: dict[str, list[str]] = {}
     ngrams = min_gram is not None or max_gram is not None or preserve_original
 
@@ -313,10 +326,24 @@ def numeric_analyzer(s: pd.Series) -> pd.Series:
     return fn(s)
 
 
+def segmentation_unicode_analyzer(s: pd.Series, **options) -> pd.Series:
+    """UAX#29 word segmentation (`segmentation_token_stream.cpp`, boost::
+    text next_word_break) with the reference's case/break options; PyICU
+    when present, pure-Python UAX#29 rules otherwise. The plain
+    ``segmentation`` name stays aliased to ``code`` (JVM tokenizer, oracle
+    parity); use this for CJK/mixed-script corpora."""
+    from iresearch_spark.analysis.segmentation import (
+        unicode_segmentation_analyzer as fn,
+    )
+
+    return fn(s, **options)
+
+
 ANALYZERS: dict[str, Analyzer] = {
     "code": code_analyzer,
     "numeric": numeric_analyzer,
     "segmentation": code_analyzer,
+    "segmentation_unicode": segmentation_unicode_analyzer,
     "identity": identity_analyzer,
     "norm": norm_lower_analyzer,
     "delimiter": delimiter_analyzer,
