@@ -110,7 +110,14 @@ def test_merge_preserves_fields(spark, corpus, tmp_path_factory):
     build_index(spark, corpus, d, num_segments=N_SEGMENTS, fields=FIELDS)
     eng0 = SearchEngine(spark, d)
     q = TermF(field_name="lang", term="python")
-    before = _collect(eng0, q)
+    # snapshot semantics: eng0 pins the pre-merge manifest, and consolidate's
+    # cleanup purges the merged-away segment data (no reader refcount keeps
+    # it alive, unlike index_reader.hpp) — so the baseline must be collected
+    # BEFORE the merge, while eng0's segments still exist on disk
+    before_by_path = {
+        r["path"]: r["score"]
+        for r in eng0.search(q, k=None).collect()
+    }
     res = consolidate(spark, d, max_bytes=1 << 40, max_skew=1.0)
     assert res, "expected at least one merge"
     m = read_manifest(d)
@@ -122,10 +129,6 @@ def test_merge_preserves_fields(spark, corpus, tmp_path_factory):
             (r["path"], r["score"])
             for r in eng1.search(q, k=None).collect()
         )
-    }
-    before_by_path = {
-        r["path"]: r["score"]
-        for r in eng0.search(q, k=None).collect()
     }
     assert after == before_by_path
     # per-field stats survive the merge
