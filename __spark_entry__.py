@@ -134,6 +134,41 @@ def _ft(spark: SparkSession, sf_dir: str, filt, k=None, mf=False,
     )
 
 
+def _engine_pay(spark: SparkSession, sf_dir: str):
+    """Payload index: per-position user bytes (IndexFeatures::PAY,
+    token_attributes.hpp:67-72) — here the original-case token form."""
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.search import SearchEngine
+
+    key = os.path.abspath(sf_dir) + "#pay"
+    if key not in _INDEX_CACHE:
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "iresearch_idx_pay_" + os.path.abspath(sf_dir).replace("/", "_"),
+        )
+        build_index(
+            spark,
+            _corpus_from_documents(_docs(spark, sf_dir)),
+            idx,
+            num_segments=4,
+            analyzer="code_payload",
+        )
+        _INDEX_CACHE[key] = idx
+    return SearchEngine(spark, _INDEX_CACHE[key])
+
+
+def _ft_payload(spark: SparkSession, sf_dir: str, term: str) -> DataFrame:
+    """One row per occurrence of ``term``: (doc_id, pos, payload) where the
+    payload is the original-case surface form stored in the pay stream."""
+    eng = _engine_pay(spark, sf_dir)
+    res = eng.term_payloads(term)
+    return res.select(
+        F.col("path").cast("int").alias("doc_id"),
+        F.col("pos"),
+        F.decode(F.col("payload"), "UTF-8").alias("payload"),
+    )
+
+
 def _ft_topk(spark: SparkSession, sf_dir: str, filt, k: int) -> DataFrame:
     """Deterministic top-k on (rounded score desc, doc_id) — tie-stable on
     both engine and SQL sides."""
@@ -655,6 +690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_audio_energy"] = lambda s, d: audio_energy(
         assets_from_documents(_docs(s, d), kind="audio")
     )
+    # per-position payload stream (IndexFeatures::PAY): HAS an oracle twin
+    # (the local gate replica runs it), but sits past slot 50 so the driver's
+    # bounded window never evicts an older oracled row
+    q["ft_payload"] = lambda s, d: _ft_payload(s, d, "spark")
     return q
 
 
@@ -1279,6 +1318,21 @@ g AS (
 SELECT asset_id, kind, n_bytes, digest, width,
        greatest(1, cast(floor(n_bytes / width) AS INT)) AS height
 FROM g
+"""
+    # per-position payload stream: the pay bytes are the original-case
+    # surface form, so the twin re-derives them with ONE case-insensitive
+    # extraction (identical to the analyzer's) and filters on lower()
+    o["ft_payload"] = """
+SELECT doc_id, pos, payload FROM (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*|[0-9]+'))
+           AS payload,
+         CAST(generate_subscripts(
+           regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*|[0-9]+'), 1) - 1
+           AS INTEGER) AS pos
+  FROM documents
+)
+WHERE lower(payload) = 'spark'
 """
     # dedup_minhash_lsh / dedup_simhash / ann_lsh_topk / mm_* featurizers:
     # approximate/hash/stub-codec ops, verified in pytest against exact

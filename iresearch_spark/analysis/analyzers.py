@@ -326,6 +326,41 @@ def numeric_analyzer(s: pd.Series) -> pd.Series:
     return fn(s)
 
 
+# bool/null sentinel token streams (`core/analysis/token_streams.hpp:47-82,
+# 253-277`): a boolean value indexes as ONE single-byte term — \xFF for true,
+# \x00 for false — and a null value as the empty term, so equality filters on
+# bool/null columns run as ordinary term lookups.
+BOOL_TRUE_TOKEN = "\xff"
+BOOL_FALSE_TOKEN = "\x00"
+NULL_TOKEN = ""
+
+
+def boolean_analyzer(s: pd.Series) -> pd.Series:
+    """boolean_token_stream (`token_streams.hpp:47-82`): value_true/value_
+    false sentinels; NULL indexes nothing (pair with ``null`` to index it)."""
+
+    def conv(v) -> list[str]:
+        if v is None or v is pd.NA or (isinstance(v, float) and pd.isna(v)):
+            return []
+        return [BOOL_TRUE_TOKEN if bool(v) else BOOL_FALSE_TOKEN]
+
+    return s.map(conv)
+
+
+def null_analyzer(s: pd.Series) -> pd.Series:
+    """null_token_stream (`token_streams.hpp:253-277`): NULL values index
+    the empty term (non-null data pointer, zero length), making
+    ``x == null`` an ordinary term query; non-null values index nothing."""
+
+    def conv(v) -> list[str]:
+        is_null = v is None or v is pd.NA or (
+            isinstance(v, float) and pd.isna(v)
+        )
+        return [NULL_TOKEN] if is_null else []
+
+    return s.map(conv)
+
+
 def segmentation_unicode_analyzer(s: pd.Series, **options) -> pd.Series:
     """UAX#29 word segmentation (`segmentation_token_stream.cpp`, boost::
     text next_word_break) with the reference's case/break options; PyICU
@@ -339,9 +374,78 @@ def segmentation_unicode_analyzer(s: pd.Series, **options) -> pd.Series:
     return fn(s, **options)
 
 
+# ---------------------------------------------------------------- payloads
+#
+# The reference lets any analyzer attach a per-position `payload` attribute
+# (arbitrary user bytes, `core/analysis/token_attributes.hpp:67-72`); the
+# indexer stores it in the prox/pay stream when the field is indexed with
+# IndexFeatures::PAY (`core/index/field_data.cpp:79-96` write_prox,
+# `:992-1012` payload pickup). A payload analyzer here returns a PAIR of
+# aligned Series: (list[str] tokens, list[bytes] payloads).
+
+CODE_TOKEN_PATTERN_CI = r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
+
+
+def code_payload_original_analyzer(
+    s: pd.Series,
+) -> tuple[pd.Series, pd.Series]:
+    """Code tokens with the ORIGINAL-CASE form as the position's payload
+    (the classic Lucene-style "token attribute as payload" pattern). Both
+    streams come from ONE case-insensitive extraction over the raw text, so
+    token/payload alignment is exact by construction and the DuckDB twin is
+    the same `regexp_extract_all` with `lower()` applied after the fact."""
+    raw = s.fillna("").str.findall(CODE_TOKEN_PATTERN_CI)
+    toks = raw.map(lambda ts: [t.lower() for t in ts])
+    pays = raw.map(lambda ts: [t.encode("utf-8") for t in ts])
+    return toks, pays
+
+
+def delimited_payload_analyzer(
+    s: pd.Series, delimiter: str = "|"
+) -> tuple[pd.Series, pd.Series]:
+    """Lucene ``DelimitedPayloadTokenFilter`` semantics: whitespace tokens of
+    the form ``term<delim>payload``; text after the LAST delimiter becomes
+    the position's payload bytes, tokens without a delimiter get b''."""
+
+    def split(ts: list[str]) -> tuple[list[str], list[bytes]]:
+        terms: list[str] = []
+        pays: list[bytes] = []
+        for t in ts:
+            term, _, pay = t.rpartition(delimiter)
+            if not _:
+                term, pay = t, ""
+            terms.append(term)
+            pays.append(pay.encode("utf-8"))
+        return terms, pays
+
+    both = s.fillna("").str.split().map(split)
+    return both.map(lambda x: x[0]), both.map(lambda x: x[1])
+
+
+PAYLOAD_ANALYZERS: dict[str, Callable] = {
+    "code_payload": code_payload_original_analyzer,
+    "delimited_payload": delimited_payload_analyzer,
+}
+
+
+def is_payload_analyzer(name: str) -> bool:
+    return name in PAYLOAD_ANALYZERS
+
+
+def get_payload_analyzer(name: str, **options) -> Callable:
+    if name not in PAYLOAD_ANALYZERS:
+        raise KeyError(
+            f"unknown payload analyzer {name!r}; have {sorted(PAYLOAD_ANALYZERS)}"
+        )
+    fn = PAYLOAD_ANALYZERS[name]
+    return partial(fn, **options) if options else fn
+
+
 ANALYZERS: dict[str, Analyzer] = {
     "code": code_analyzer,
     "numeric": numeric_analyzer,
+    "boolean": boolean_analyzer,
+    "null": null_analyzer,
     "segmentation": code_analyzer,
     "segmentation_unicode": segmentation_unicode_analyzer,
     "identity": identity_analyzer,

@@ -9,4 +9,6 @@ from iresearch_spark.codec.postings import (  # noqa: F401
     encode_postings_batch,
     encode_positions_batch,
     decode_postings_many,
+    encode_payloads_batch,
+    decode_payloads,
 )

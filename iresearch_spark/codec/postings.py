@@ -217,6 +217,73 @@ def encode_positions_batch(
     return blobs, np.split(block_byte_off, np.cumsum(blocks_per_term)[:-1])
 
 
+def encode_payloads_batch(
+    freqs: np.ndarray,
+    flat_payloads: np.ndarray,
+    term_lengths: np.ndarray,
+) -> tuple[list[bytes], list[bytes]]:
+    """Vectorized per-position payload encoding for many terms at once.
+
+    The reference stores per-position user bytes in the prox/pay stream as a
+    sizes buffer plus a data buffer (`core/formats/formats_10.cpp:230-265`
+    ``pay_sizes`` / ``pay_buf_``, written by ``push_payload``); we keep the
+    same split — a varint sizes stream and a raw concatenated data buffer —
+    as two parquet columns so either decodes standalone.
+
+    ``flat_payloads``: object array of ``bytes``, one per occurrence, in the
+    same term-major / doc-major / position-ascending order as
+    ``encode_positions_batch``'s ``flat_positions``. Returns per-term
+    ``(len_blobs, data_blobs)``.
+    """
+    nt = np.ascontiguousarray(term_lengths, dtype=np.int64)
+    T = nt.size
+    if T == 0:
+        return [], []
+    freqs = np.ascontiguousarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    if len(flat_payloads) != total:
+        raise ValueError("flat_payloads length != sum(freqs)")
+    lens = np.fromiter(
+        (len(p) for p in flat_payloads), dtype=np.int64, count=total
+    )
+    # occurrences per term: sum of freqs over each term's posting range
+    term_starts = np.concatenate([[0], np.cumsum(nt)])[:-1]
+    occ_per_term = np.add.reduceat(freqs, term_starts) if total else nt * 0
+    occ_starts = np.concatenate([[0], np.cumsum(occ_per_term)])
+
+    lblob_all = encode_varints(lens.astype(np.uint64))
+    lcum = np.concatenate([[0], np.cumsum(varint_lengths(lens.astype(np.uint64)))])
+    lb = [
+        lblob_all[lcum[occ_starts[t]] : lcum[occ_starts[t + 1]]]
+        for t in range(T)
+    ]
+    db = [
+        b"".join(flat_payloads[occ_starts[t] : occ_starts[t + 1]])
+        for t in range(T)
+    ]
+    return lb, db
+
+
+def decode_payloads(
+    len_blob: bytes, data_blob: bytes, freqs: np.ndarray
+) -> np.ndarray:
+    """Decode one term's payload streams -> object array of ``bytes`` per
+    occurrence (aligned with ``decode_positions`` output order)."""
+    freqs = np.ascontiguousarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    if total == 0:
+        return np.empty(0, dtype=object)
+    lens = decode_varints(len_blob, total).astype(np.int64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    if int(ends[-1]) != len(data_blob):
+        raise ValueError("payload data buffer length mismatch")
+    out = np.empty(total, dtype=object)
+    for i in range(total):
+        out[i] = data_blob[starts[i] : ends[i]]
+    return out
+
+
 def decode_postings(blob: bytes, docs_count: int) -> tuple[np.ndarray, np.ndarray]:
     """Decode a full posting list -> (doc_ids int64, freqs int64)."""
     n = int(docs_count)

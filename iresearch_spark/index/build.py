@@ -38,8 +38,17 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from iresearch_spark.analysis import CODE_TOKEN_PATTERN, get_analyzer
-from iresearch_spark.codec import encode_positions_batch, encode_postings_batch
+from iresearch_spark.analysis import (
+    CODE_TOKEN_PATTERN,
+    get_analyzer,
+    get_payload_analyzer,
+    is_payload_analyzer,
+)
+from iresearch_spark.codec import (
+    encode_payloads_batch,
+    encode_positions_batch,
+    encode_postings_batch,
+)
 from iresearch_spark.index.manifest import (
     Manifest,
     read_checkpoints,
@@ -53,6 +62,13 @@ SEGMENTS_SCHEMA = (
     "max_freqs array<long>, min_norms array<long>, "
     "positions binary, pos_offsets array<long>"
 )
+
+# Payload-bearing variant (IndexFeatures::PAY): two extra binary columns —
+# varint sizes stream + raw data buffer, the reference's pay_sizes/pay_buf
+# split (`formats_10.cpp:230-265`). Non-payload readers keep using
+# SEGMENTS_SCHEMA: parquet column pruning never touches the pay bytes, the
+# same economics as the reference's separate .pay file.
+SEGMENTS_PAY_SCHEMA = SEGMENTS_SCHEMA + ", pay_lens binary, payloads binary"
 
 DOCMETA_SCHEMA = (
     "segment_id int, doc_id int, repo string, path string, commit string, "
@@ -102,15 +118,27 @@ def make_dl_expr(analyzer: str, column: str = "content"):
     the same Python analyzer."""
     if analyzer in JVM_TOKENIZERS:
         return F.size(JVM_TOKENIZERS[analyzer](F.col(column)))
+    if is_payload_analyzer(analyzer):
+        pfn = get_payload_analyzer(analyzer)
+
+        @F.pandas_udf("int")
+        def dl_pay_udf(s: pd.Series) -> pd.Series:
+            if s.dtype == object:
+                s = s.fillna("")
+            toks, _ = pfn(s)
+            return toks.str.len().astype("int32")
+
+        return dl_pay_udf(F.col(column))
     fn = get_analyzer(analyzer)
+    # no string coalesce for null-sensitive analyzers: `numeric` (non-object
+    # dtype, naturally skipped), and `boolean`/`null` whose whole job is to
+    # distinguish NULL from a value (a bool column with NULLs arrives as
+    # object dtype, so the fillna('') would mask them)
+    fill_nulls = analyzer not in ("boolean", "null")
 
     @F.pandas_udf("int")
     def dl_udf(s: pd.Series) -> pd.Series:
-        # no string coalesce here: a non-string column (e.g. a numeric field
-        # under the `numeric` analyzer) must keep its NULLs as NULLs so the
-        # analyzer's own null handling applies ("nulls index nothing",
-        # numeric.py) — coercing to '' would crash int('')
-        if s.dtype == object:
+        if fill_nulls and s.dtype == object:
             s = s.fillna("")
         return fn(s).str.len().astype("int32")
 
@@ -215,11 +243,14 @@ def make_seg_builder(
     path when the analyzer has a Catalyst twin (default), else the
     Python-tokenizer grouped kernel."""
     column = column or field
+    with_payloads = is_payload_analyzer(analyzer)
     use_jvm = (
-        analyzer in JVM_TOKENIZERS if jvm_tokenize is None else jvm_tokenize
+        (analyzer in JVM_TOKENIZERS if jvm_tokenize is None else jvm_tokenize)
+        and not with_payloads  # pay bytes only flow through the Python kernel
     )
     if not use_jvm:
-        invert = _invert_kernel(analyzer, field, with_positions)
+        invert = _invert_kernel(analyzer, field, with_positions, with_payloads)
+        schema = SEGMENTS_PAY_SCHEMA if with_payloads else SEGMENTS_SCHEMA
 
         def build_py(sub: DataFrame) -> DataFrame:
             return (
@@ -227,7 +258,7 @@ def make_seg_builder(
                     "segment_id", "doc_id", F.col(column).alias("content")
                 )
                 .groupBy("segment_id")
-                .applyInPandas(invert, schema=SEGMENTS_SCHEMA)
+                .applyInPandas(invert, schema=schema)
             )
 
         return build_py
@@ -299,25 +330,42 @@ def make_seg_builder(
     return build_jvm
 
 
-def _invert_kernel(analyzer_name: str, field: str, with_positions: bool):
-    analyzer = get_analyzer(analyzer_name)
+def _invert_kernel(
+    analyzer_name: str, field: str, with_positions: bool,
+    with_payloads: bool = False,
+):
+    """``with_payloads``: the analyzer is a payload analyzer (tokens + per-
+    position user bytes, token_attributes.hpp:67-72); positions are implied
+    (the pay stream is position-aligned, field_data.cpp:79-96) and the output
+    schema grows the pay_lens/payloads columns (SEGMENTS_PAY_SCHEMA)."""
+    out_schema = SEGMENTS_PAY_SCHEMA if with_payloads else SEGMENTS_SCHEMA
+    analyzer = (
+        get_payload_analyzer(analyzer_name)
+        if with_payloads
+        else get_analyzer(analyzer_name)
+    )
 
     def invert(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(
-                columns=[c.split()[0] for c in SEGMENTS_SCHEMA.split(", ")]
+                columns=[c.split()[0] for c in out_schema.split(", ")]
             )
         pdf = pdf.sort_values("doc_id")
         segment_id = int(pdf["segment_id"].iloc[0])
         doc_ids = pdf["doc_id"].to_numpy(np.int64)
-        tokens = analyzer(pdf["content"])
+        if with_payloads:
+            tokens, pays = analyzer(pdf["content"])
+        else:
+            tokens = analyzer(pdf["content"])
         counts = tokens.str.len().to_numpy(np.int64)
         total = int(counts.sum())
         if total == 0:
             return pd.DataFrame(
-                columns=[c.split()[0] for c in SEGMENTS_SCHEMA.split(", ")]
+                columns=[c.split()[0] for c in out_schema.split(", ")]
             )
         flat_terms = tokens.explode().dropna().to_numpy(dtype=object)
+        if with_payloads:
+            flat_pay = pays.explode().dropna().to_numpy(dtype=object)
         doc_rep = np.repeat(doc_ids, counts)
         doc_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
         pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, counts)
@@ -369,13 +417,19 @@ def _invert_kernel(analyzer_name: str, field: str, with_positions: bool):
             "max_freqs": maxf,
             "min_norms": minn,
         }
-        if with_positions:
+        if with_positions or with_payloads:
             pblobs, poffs = encode_positions_batch(freqs, sp, term_lengths)
             out["positions"] = pblobs
             out["pos_offsets"] = poffs
         else:
             out["positions"] = None
             out["pos_offsets"] = None
+        if with_payloads:
+            lb, db = encode_payloads_batch(
+                freqs, flat_pay[order], term_lengths
+            )
+            out["pay_lens"] = lb
+            out["payloads"] = db
         return pd.DataFrame(out)
 
     return invert
@@ -430,7 +484,11 @@ def write_segment_wave(
 
     seg_df = seg_builder(sub)
     for _, extra_builder, _ in extra_fields:
-        seg_df = seg_df.unionByName(extra_builder(sub))
+        # allowMissingColumns: a payload field (SEGMENTS_PAY_SCHEMA) can mix
+        # with plain fields — the pay columns null-fill on the plain side
+        seg_df = seg_df.unionByName(
+            extra_builder(sub), allowMissingColumns=True
+        )
     seg_df.write.mode("append").partitionBy("segment_id").parquet(
         f"{index_dir}/segments"
     )
@@ -530,6 +588,7 @@ def build_index(
     verify_dictionary: bool = True,
     fields: list[tuple[str, str]] | None = None,
     sort_by: list[str] | None = None,
+    commit_payload: bytes | None = None,
 ) -> dict:
     """Build (or resume) the index; returns build metrics.
 
@@ -605,6 +664,8 @@ def build_index(
             done.update(recs)
 
         # commit: publish manifest covering everything checkpointed so far
+        import base64
+
         write_manifest(
             index_dir,
             Manifest(
@@ -616,6 +677,12 @@ def build_index(
                 segments=sorted(seg_records.values(), key=lambda s: s["segment_id"]),
                 fields=[[n, a] for n, a in fields] if len(fields) > 1 else None,
                 sort=list(sort_by) if sort_by else None,
+                with_payloads=any(is_payload_analyzer(a) for _, a in fields),
+                commit_payload=(
+                    base64.b64encode(commit_payload).decode("ascii")
+                    if commit_payload is not None
+                    else None
+                ),
             ),
         )
         committed_waves += 1

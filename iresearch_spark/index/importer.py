@@ -110,6 +110,8 @@ def import_index(
             segments=merged,
             fields=dst.fields,
             sort=dst.sort,
+            with_payloads=dst.with_payloads,
+            commit_payload=dst.commit_payload,
         ),
     )
     return {"imported": len(src_ids), "mapping": mapping}

@@ -34,6 +34,20 @@ class Manifest:
     # primary-sort columns (sorted index, core/index/comparer.hpp); merge
     # concatenates sorted runs without a global re-sort (documented deviation)
     sort: list[str] | None = None
+    # per-position payload stream present (IndexFeatures::PAY,
+    # `core/analysis/token_attributes.hpp:67-72`): segment rows carry
+    # pay_lens/payloads columns
+    with_payloads: bool = False
+    # commit-level user payload (index_writer.cpp:1181-1183 meta payload
+    # provider — ArangoDB stores its recovery tick here); base64 of the bytes
+    commit_payload: str | None = None
+
+    def commit_payload_bytes(self) -> bytes | None:
+        if self.commit_payload is None:
+            return None
+        import base64
+
+        return base64.b64decode(self.commit_payload)
 
     def field_specs(self) -> list[tuple[str, str]]:
         if self.fields:
@@ -53,6 +67,10 @@ class Manifest:
             payload["fields"] = self.fields
         if self.sort is not None:
             payload["sort"] = self.sort
+        if self.with_payloads:
+            payload["with_payloads"] = True
+        if self.commit_payload is not None:
+            payload["commit_payload"] = self.commit_payload
         return json.dumps(payload, sort_keys=True, separators=(",", ":")) + "\n"
 
 
@@ -135,6 +153,8 @@ def read_manifest(index_dir: str, generation: int | None = None) -> Manifest | N
         segments=d["segments"],
         fields=d.get("fields"),
         sort=d.get("sort"),
+        with_payloads=d.get("with_payloads", False),
+        commit_payload=d.get("commit_payload"),
     )
 
 

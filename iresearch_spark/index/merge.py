@@ -37,8 +37,10 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from iresearch_spark.codec import (
+    decode_payloads,
     decode_positions,
     decode_postings_many,
+    encode_payloads_batch,
     encode_positions_batch,
     encode_postings_batch,
 )
@@ -218,11 +220,17 @@ def merge_segments(
     bc = spark.sparkContext.broadcast((bases, deleted))
 
     with_positions = man.with_positions
+    with_payloads = getattr(man, "with_payloads", False)
+    out_schema = (
+        MERGE_SCHEMA + ", pay_lens binary, payloads binary"
+        if with_payloads
+        else MERGE_SCHEMA
+    )
 
     def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
             return pd.DataFrame(
-                columns=[c.split()[0] for c in MERGE_SCHEMA.split(", ")]
+                columns=[c.split()[0] for c in out_schema.split(", ")]
             )
         bases_l, deleted_l = bc.value
         # first-block doc as tiebreak: input segments may already carry
@@ -352,6 +360,46 @@ def merge_segments(
         else:
             out["positions"] = None
             out["pos_offsets"] = None
+        if with_payloads:
+            # payloads ride the positions permutation: per-row decode (each
+            # row's pay blobs are standalone), row-order concat == the
+            # occurrence order of `freqs`, then the same keep mask. Rows of
+            # non-payload fields (mixed multi-field index) carry null pay
+            # blobs: their occurrences get b'' placeholders and the output
+            # row's pay columns are nulled back out below.
+            row_starts_posting = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            has_pay = pdf["pay_lens"].notna().to_numpy()
+            pays = []
+            for i in range(len(pdf)):
+                f_row = freqs[
+                    row_starts_posting[i] : row_starts_posting[i] + counts[i]
+                ]
+                if has_pay[i]:
+                    pays.append(
+                        decode_payloads(
+                            pdf["pay_lens"].iloc[i],
+                            pdf["payloads"].iloc[i],
+                            f_row,
+                        )
+                    )
+                else:
+                    pays.append(np.full(int(f_row.sum()), b"", dtype=object))
+            flat_pay = (
+                np.concatenate(pays) if pays else np.empty(0, dtype=object)
+            )
+            pos_keep_pay = np.repeat(keep, freqs)
+            lb, db = encode_payloads_batch(
+                kept_freqs, flat_pay[pos_keep_pay], lengths
+            )
+            # an output term's rows all come from one field (term_change
+            # splits on field), so the representative input row decides
+            src_has_pay = has_pay[trow_starts[meta]]
+            out["pay_lens"] = [
+                b if src_has_pay[j] else None for j, b in enumerate(lb)
+            ]
+            out["payloads"] = [
+                b if src_has_pay[j] else None for j, b in enumerate(db)
+            ]
         return pd.DataFrame(out)
 
     seg_df = spark.read.parquet(f"{index_dir}/segments").filter(
@@ -391,7 +439,7 @@ def merge_segments(
         .groupBy("bucket")
         .applyInPandas(
             lambda key, pdf: merge_bucket(pdf.drop(columns=["bucket"])),
-            schema=MERGE_SCHEMA,
+            schema=out_schema,
         )
     )
     merged.write.mode("append").partitionBy("segment_id").parquet(
@@ -514,6 +562,8 @@ def merge_segments(
             segments=new_segments,
             fields=man.fields,
             sort=man.sort,
+            with_payloads=man.with_payloads,
+            commit_payload=man.commit_payload,
         ),
     )
     if cleanup:

@@ -228,6 +228,82 @@ class SearchEngine:
             )
         )
 
+    def term_payloads(self, term: str, field_name: str = "content") -> DataFrame:
+        """Per-position payload read (IndexFeatures::PAY): one row per
+        occurrence of ``term`` with the payload bytes the analyzer attached
+        at that position (`core/analysis/token_attributes.hpp:67-72`; the
+        pos/pay iterator of `formats_10.cpp:1106-1239`). The scan reads the
+        pay columns ONLY for the requested term (pushed term filter +
+        column pruning = the reference opening the .pay file on demand).
+
+        Returns (segment_id, doc_id, repo, path, commit, pos, payload)."""
+        if not getattr(self.manifest, "with_payloads", False):
+            raise ValueError(
+                "index was not built with a payload analyzer "
+                "(manifest.with_payloads is false)"
+            )
+        import os
+
+        from iresearch_spark.codec import decode_payloads
+        from iresearch_spark.index.build import SEGMENTS_PAY_SCHEMA
+
+        fld = self._resolve_field(field_name)
+        seg = self._seg_filter(
+            self.spark.read.schema(SEGMENTS_PAY_SCHEMA)
+            .parquet(f"{self.index_dir}/segments")
+            .select(
+                "segment_id", "field", "term", "docs_count", "postings",
+                "positions", "pay_lens", "payloads",
+            )
+        ).filter((F.col("field") == fld) & (F.col("term") == term))
+
+        def kernel(it):
+            # one input row per (segment, term-shard) — a handful of rows,
+            # each decoded vectorized; never per-occurrence Python beyond
+            # the payload byte-slicing itself (variable-width by nature)
+            for pdf in it:
+                outs = []
+                for r in pdf.itertuples():
+                    if r.pay_lens is None:  # field indexed without PAY
+                        continue
+                    docs, freqs = decode_postings(
+                        r.postings, int(r.docs_count)
+                    )
+                    pos = decode_positions(r.positions, freqs)
+                    pay = decode_payloads(r.pay_lens, r.payloads, freqs)
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "segment_id": np.full(
+                                    pos.size, r.segment_id, np.int32
+                                ),
+                                "doc_id": np.repeat(docs, freqs).astype(
+                                    np.int32
+                                ),
+                                "pos": pos.astype(np.int32),
+                                "payload": pay,
+                            }
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs)
+
+        out = seg.mapInPandas(
+            kernel, schema="segment_id int, doc_id int, pos int, payload binary"
+        )
+        if os.path.isdir(f"{self.index_dir}/deletes"):
+            from iresearch_spark.index.deletes import deletes_df
+
+            out = out.join(
+                deletes_df(self.spark, self.index_dir),
+                ["segment_id", "doc_id"],
+                "left_anti",
+            )
+        ident = self.docmeta_df().select(
+            "segment_id", "doc_id", "repo", "path", "commit"
+        )
+        return out.join(ident, ["segment_id", "doc_id"])
+
     @staticmethod
     def _leaf_pred(leaf):
         """Term-set predicate of a multi-term leaf (JVM column expression,

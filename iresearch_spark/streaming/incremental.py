@@ -131,6 +131,8 @@ class IncrementalIndexer:
                 segments=sorted(live.values(), key=lambda s: s["segment_id"]),
                 fields=m.fields,
                 sort=m.sort,
+                with_payloads=m.with_payloads,
+                commit_payload=m.commit_payload,
             ),
         )
         return {
