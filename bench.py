@@ -46,6 +46,14 @@ def _time_best(fn, trials: int) -> float:
     return min(_time(fn) for _ in range(max(1, trials)))
 
 
+def _time_cold_and_best(fn, trials: int) -> tuple[float, float]:
+    """(first-run cold time, min over all runs) — builds report both: the
+    cold figure keeps JVM/python-worker spin-up visible, the min is the
+    noise-robust throughput figure."""
+    times = [_time(fn) for _ in range(max(1, trials))]
+    return times[0], min(times)
+
+
 def run_default(sf_dir: str, cpus: int) -> dict:
     from iresearch_spark.session import get_spark
 
@@ -57,12 +65,19 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     # ---- index build over the documents table (the flagship input)
     from iresearch_spark.index.build import build_index
 
+    build_trials = int(os.environ.get("SPARK_GRAFT_BUILD_TRIALS", "2"))
+
     docs = entry_mod._corpus_from_documents(entry_mod._docs(spark, sf_dir))
     n_docs = docs.count()
     idx_dir = _fresh_dir(f"sf{sf}")
-    t0 = time.perf_counter()
-    metrics = build_index(spark, docs, idx_dir, num_segments=8)
-    build_sec = time.perf_counter() - t0
+    # builds get the same best-of-warm protocol as queries: the first build
+    # of a session pays JVM/python-worker spin-up and whatever the
+    # hypervisor's core budget is that minute (observed 6x on one sample —
+    # 61 s recorded for a build whose warm floor is ~9 s)
+    build_cold_sec, build_sec = _time_cold_and_best(
+        lambda: build_index(spark, docs, idx_dir, num_segments=8),
+        build_trials,
+    )
     entry_mod._INDEX_CACHE[os.path.abspath(sf_dir)] = idx_dir
 
     # ---- throughput build over the larger synthetic corpus (bench scale);
@@ -76,9 +91,10 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     )
     synth = spark.read.parquet(synth_src)
     synth_dir = _fresh_dir("synth")
-    t0 = time.perf_counter()
-    build_index(spark, synth, synth_dir, num_segments=2 * cpus)
-    synth_sec = time.perf_counter() - t0
+    synth_cold_sec, synth_sec = _time_cold_and_best(
+        lambda: build_index(spark, synth, synth_dir, num_segments=2 * cpus),
+        build_trials,
+    )
     shutil.rmtree(synth_src, ignore_errors=True)
 
     # ---- headline queries (forced with count()); each timed as the min of
@@ -111,12 +127,15 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "queries": q_times,
         "sf": float(sf),
         "index_build_sec": round(build_sec, 4),
+        "index_build_cold_sec": round(build_cold_sec, 4),
         "index_docs": n_docs,
         "index_docs_per_sec": round(n_docs / build_sec, 2),
         "synth_docs": n_synth,
         "synth_build_sec": round(synth_sec, 4),
+        "synth_build_cold_sec": round(synth_cold_sec, 4),
         "synth_docs_per_sec": round(n_synth / synth_sec, 2),
         "query_trials": trials,
+        "build_trials": build_trials,
         "cpus": cpus,
     }
     spark.stop()
