@@ -2,9 +2,11 @@
 
 Exact + n-gram Jaccard are pure DataFrame ops with DuckDB SQL oracles.
 MinHash/SimHash use vectorized pandas UDF kernels (deterministic seeded hash
-families) — their oracle is the exact-Jaccard op (LSH candidates must be a
-superset of high-Jaccard pairs at matching thresholds; tested in pytest),
-and the driver records a rows-only check.
+families); with ``hash_mode="md5"`` the hash family is md5-derived and the
+whole pipeline (signatures, band keys, candidate pairs, estimates) has an
+exact DuckDB SQL twin — the driver's oracle. The default "sip" mode keeps
+the faster SipHash base; its guarantee (LSH candidates are a superset of
+high-Jaccard pairs at matching thresholds) is pytest-gated.
 
 Scale design: exact dedup is a hash aggregate (one shuffle on the digest);
 n-gram pairing joins on (bucket, gram) so hot grams are bounded by the
@@ -14,6 +16,7 @@ classic scalable path, no O(n^2) anywhere.
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -24,6 +27,47 @@ from pyspark.sql import functions as F
 from iresearch_spark.analysis import CODE_TOKEN_PATTERN
 
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+# --- md5 hash mode -----------------------------------------------------
+# ``hash_mode="md5"`` swaps the SipHash base hash for md5-derived integers
+# so the whole MinHash/SimHash pipeline has an exact DuckDB SQL twin
+# (DuckDB: ('0x' || substr(md5(s), 1, k))::BIGINT). All md5-mode modular
+# arithmetic runs in the 31-bit Mersenne field so every product stays
+# < 2^62 — EXACT in numpy uint64, Spark BIGINT and DuckDB BIGINT alike
+# (no 2^64 wraparound, which SQL integers cannot reproduce).
+_P31 = np.uint64(2147483647)  # 2^31 - 1
+_BAND_FOLD_M = 1000003
+_SHINGLE_SEP = "\x1f"  # chr(31) on the SQL side
+
+
+def md5_minhash_constants(num_hashes: int = 64):
+    """Seeded affine coefficients for the md5 minhash mode; the driver's
+    oracle SQL embeds these same values as a literal table."""
+    rng = np.random.default_rng(20260817)
+    A = rng.integers(1, int(_P31), size=num_hashes, dtype=np.uint64)
+    B = rng.integers(0, int(_P31), size=num_hashes, dtype=np.uint64)
+    return A, B
+
+
+def band_fold_coeffs(r: int) -> list[int]:
+    """Positional coefficients M^(r-1-j) mod p for the md5-mode band fold:
+    band_key = sum_j ((slot_j * coeff_j) mod p) mod p."""
+    return [pow(_BAND_FOLD_M, r - 1 - j, int(_P31)) for j in range(r)]
+
+
+def _hash_strings_md5(strs: np.ndarray, hex_chars: int) -> np.ndarray:
+    """First ``hex_chars`` hex digits of md5, as uint64 — memoized over the
+    batch's distinct strings (vocabulary << token stream)."""
+    codes, uniq = pd.factorize(pd.Series(strs, dtype=object), sort=False)
+    vals = np.fromiter(
+        (
+            int(hashlib.md5(u.encode("utf-8")).hexdigest()[:hex_chars], 16)
+            for u in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return vals[codes]
 
 
 def _tokens(col: str = "text"):
@@ -171,7 +215,12 @@ def _hash_tokens_u64(tokens: np.ndarray) -> np.ndarray:
     ).astype(np.uint64)
 
 
-def _flat_doc_tokens(pdf: pd.DataFrame, shingle: int = 1):
+def _flat_doc_tokens(
+    pdf: pd.DataFrame,
+    shingle: int = 1,
+    hash_mode: str = "sip",
+    md5_hex: int = 16,
+):
     """Batch -> (doc_ids, flat hash array, per-doc slice starts).
 
     One vectorized tokenize over the whole Arrow batch; docs with fewer than
@@ -180,6 +229,11 @@ def _flat_doc_tokens(pdf: pd.DataFrame, shingle: int = 1):
     single-token sets of same-domain documents overlap almost completely).
     Returns (kept_doc_ids, hashes, starts) where
     ``hashes[starts[i]:starts[i+1]]`` are doc i's hashes.
+
+    ``hash_mode="md5"`` hashes the shingle STRING (tokens joined on chr(31))
+    with md5 truncated to ``md5_hex`` hex digits, so the values are
+    reproducible in DuckDB SQL; "sip" (default) FNV-mixes per-token SipHash —
+    faster, no SQL twin.
     """
     toks = pdf["text"].fillna("").str.lower().str.findall(CODE_TOKEN_PATTERN)
     counts = toks.str.len().to_numpy(np.int64)
@@ -189,15 +243,22 @@ def _flat_doc_tokens(pdf: pd.DataFrame, shingle: int = 1):
     if doc_ids.size == 0:
         return doc_ids, np.empty(0, np.uint64), np.zeros(1, np.int64)
     flat = toks.explode().to_numpy(dtype=object)
-    hashes = _hash_tokens_u64(flat)
     if shingle > 1:
-        # combine k consecutive token hashes; windows crossing doc
+        # shingle windows over the flat array; windows crossing doc
         # boundaries are cut off by the shrunken per-doc counts below
-        mixed = np.zeros(hashes.size - shingle + 1, dtype=np.uint64)
-        prime = np.uint64(0x100000001B3)
-        for j in range(shingle):
-            end = hashes.size - shingle + 1 + j
-            mixed = (mixed ^ hashes[j:end]) * prime
+        n = flat.size
+        if hash_mode == "md5":
+            mixed = flat[0 : n - shingle + 1].copy()
+            for j in range(1, shingle):
+                mixed = mixed + _SHINGLE_SEP
+                mixed = mixed + flat[j : n - shingle + 1 + j]
+        else:
+            th = _hash_tokens_u64(flat)
+            mixed = np.zeros(n - shingle + 1, dtype=np.uint64)
+            prime = np.uint64(0x100000001B3)
+            for j in range(shingle):
+                end = n - shingle + 1 + j
+                mixed = (mixed ^ th[j:end]) * prime
         counts = counts - (shingle - 1)
         ends = np.cumsum(counts + (shingle - 1))
         starts_orig = ends - (counts + (shingle - 1))
@@ -206,7 +267,17 @@ def _flat_doc_tokens(pdf: pd.DataFrame, shingle: int = 1):
             + np.arange(int(counts.sum()), dtype=np.int64)
             - np.repeat(np.concatenate([[0], np.cumsum(counts)])[:-1], counts)
         )
-        hashes = mixed[idx]
+        hashes = (
+            _hash_strings_md5(mixed[idx], md5_hex)
+            if hash_mode == "md5"
+            else mixed[idx]
+        )
+    else:
+        hashes = (
+            _hash_strings_md5(flat, md5_hex)
+            if hash_mode == "md5"
+            else _hash_tokens_u64(flat)
+        )
     starts = np.concatenate([[0], np.cumsum(counts)])
     return doc_ids, hashes, starts
 
@@ -217,6 +288,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.15,
     shingle: int = 3,
+    hash_mode: str = "sip",
 ) -> DataFrame:
     """MinHash signatures + banded LSH candidate pairs with estimated Jaccard.
 
@@ -224,16 +296,28 @@ def minhash_lsh_pairs(
     over a Mersenne prime) -> band -> bucket join; estimate = fraction of
     agreeing hash slots, i.e. estimated Jaccard over shingle sets. Returns
     (doc_a, doc_b, est_jaccard >= threshold).
+
+    ``hash_mode="md5"`` runs the identical pipeline in the 31-bit Mersenne
+    field over md5 shingle hashes — bit-exact reproducible in DuckDB SQL
+    (the driver's oracle twin); "sip" is the faster default.
     """
     assert num_hashes % bands == 0
-    rng = np.random.default_rng(1234)
-    A = rng.integers(1, int(_MERSENNE) - 1, size=num_hashes, dtype=np.uint64)
-    B = rng.integers(0, int(_MERSENNE) - 1, size=num_hashes, dtype=np.uint64)
     r = num_hashes // bands
+    if hash_mode == "md5":
+        A, B = md5_minhash_constants(num_hashes)
+        p = _P31
+        fold_cs = np.array(band_fold_coeffs(r), dtype=np.uint64)
+    else:
+        rng = np.random.default_rng(1234)
+        A = rng.integers(1, int(_MERSENNE) - 1, size=num_hashes, dtype=np.uint64)
+        B = rng.integers(0, int(_MERSENNE) - 1, size=num_hashes, dtype=np.uint64)
+        p = _MERSENNE
 
     def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            doc_ids, hashes, starts = _flat_doc_tokens(pdf, shingle)
+            doc_ids, hashes, starts = _flat_doc_tokens(
+                pdf, shingle, hash_mode, md5_hex=7
+            )
             if doc_ids.size == 0:
                 yield pd.DataFrame(
                     {
@@ -248,16 +332,26 @@ def minhash_lsh_pairs(
             reduce_at = starts[:-1]
             sig = np.empty((doc_ids.size, num_hashes), dtype=np.uint64)
             for i in range(num_hashes):
-                v = (A[i] * hashes + B[i]) % _MERSENNE
+                v = (A[i] * hashes + B[i]) % p
                 sig[:, i] = np.minimum.reduceat(v, reduce_at)
-            # per-band FNV fold over the band's r slots, vectorized over docs
-            bh = np.full((doc_ids.size, bands), 0xCBF29CE484222325, dtype=np.uint64)
-            prime = np.uint64(0x100000001B3)
             banded = sig.reshape(doc_ids.size, bands, r)
-            for j in range(r):
-                bh = (bh ^ banded[:, :, j]) * prime
-            sig_i64 = (sig >> np.uint64(1)).astype(np.int64)
-            bh_i64 = (bh >> np.uint64(1)).astype(np.int64)
+            if hash_mode == "md5":
+                # positional fold mod p: every product < 2^62, exact in
+                # uint64 and in the SQL twin's BIGINT alike
+                bh = ((banded * fold_cs[None, None, :]) % p).sum(axis=2) % p
+                sig_i64 = sig.astype(np.int64)
+                bh_i64 = bh.astype(np.int64)
+            else:
+                # per-band FNV fold over the band's r slots (mod-2^64
+                # wraparound is fine here: no SQL twin for sip mode)
+                bh = np.full(
+                    (doc_ids.size, bands), 0xCBF29CE484222325, dtype=np.uint64
+                )
+                prime = np.uint64(0x100000001B3)
+                for j in range(r):
+                    bh = (bh ^ banded[:, :, j]) * prime
+                sig_i64 = (sig >> np.uint64(1)).astype(np.int64)
+                bh_i64 = (bh >> np.uint64(1)).astype(np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(doc_ids, dtype="int64"),
@@ -319,14 +413,22 @@ def minhash_lsh_pairs(
     return result
 
 
-def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash over tf-weighted token hashes (near-dup fingerprint)."""
+def simhash_signatures(docs: DataFrame, hash_mode: str = "sip") -> DataFrame:
+    """64-bit SimHash over tf-weighted token hashes (near-dup fingerprint).
+
+    ``hash_mode="md5"`` draws the per-token bit source from the first 16 hex
+    digits of md5(token) — the identical signature is computable in DuckDB
+    SQL (('0x'||substr(md5(t),1,16))::UBIGINT bit tests), giving the driver
+    a value-exact oracle; "sip" is the faster default.
+    """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
             all_ids = pdf["doc_id"].to_numpy(np.int64)
-            doc_ids, hashes, starts = _flat_doc_tokens(pdf)
+            doc_ids, hashes, starts = _flat_doc_tokens(
+                pdf, 1, hash_mode, md5_hex=16
+            )
             out = np.zeros(all_ids.size, dtype=np.int64)
             if doc_ids.size:
                 # per-flat-token ±1 bit votes, summed per doc with reduceat
@@ -382,6 +484,7 @@ def simhash_pairs(
     bands: int = 4,
     expand: str = "pairs",
     blocks: int | None = None,
+    hash_mode: str = "sip",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance, banded over
     DISTINCT signatures.
@@ -420,7 +523,7 @@ def simhash_pairs(
         raise ValueError(f"expand must be 'pairs' or 'star', got {expand!r}")
     # signatures feed the group collapse and both expansion sides — persist
     # so the tokenize+vote kernel runs once (at real scale: a staging write)
-    sig = simhash_signatures(docs).persist()
+    sig = simhash_signatures(docs, hash_mode).persist()
     groups = sig.groupBy("simhash").agg(
         F.min("doc_id").alias("rep"), F.count("*").alias("n_members")
     )

@@ -50,8 +50,9 @@ def test_exact_dedup_finds_copy(docs_df):
     assert int(dup_groups["n_copies"].iloc[0]) == 2
 
 
-def test_minhash_lsh_finds_near_dups(docs_df):
-    pairs = minhash_lsh_pairs(docs_df, 64, 16, 0.5).toPandas()
+@pytest.mark.parametrize("hash_mode", ["sip", "md5"])
+def test_minhash_lsh_finds_near_dups(docs_df, hash_mode):
+    pairs = minhash_lsh_pairs(docs_df, 64, 16, 0.5, hash_mode=hash_mode).toPandas()
     found = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (0, 100) in found  # exact copy: est_jaccard == 1.0
     exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 100)]
@@ -85,8 +86,13 @@ def test_minhash_no_spurious_collisions(docs_df):
     assert found <= {(0, 100), (1, 101)}
 
 
-def test_simhash_copy_identical_and_near_dup_close(docs_df):
-    sh = simhash_signatures(docs_df).toPandas().set_index("doc_id")["simhash"]
+@pytest.mark.parametrize("hash_mode", ["sip", "md5"])
+def test_simhash_copy_identical_and_near_dup_close(docs_df, hash_mode):
+    sh = (
+        simhash_signatures(docs_df, hash_mode)
+        .toPandas()
+        .set_index("doc_id")["simhash"]
+    )
     assert int(sh[0]) == int(sh[100])
     ham_near = bin(int(sh[1]) ^ int(sh[101])).count("1")
     assert ham_near <= 16
@@ -106,12 +112,13 @@ def test_simhash_emits_row_for_empty_doc(spark):
     assert int(out.set_index("doc_id").loc[2, "simhash"]) == 0
 
 
-def test_simhash_pairs_complete_vs_bruteforce(docs_df):
+@pytest.mark.parametrize("hash_mode", ["sip", "md5"])
+def test_simhash_pairs_complete_vs_bruteforce(docs_df, hash_mode):
     """Banded Hamming join must return EXACTLY the brute-force popcount
     pairs for hamming <= bands-1 (pigeonhole completeness)."""
     from iresearch_spark.pipeline.dedup import simhash_pairs
 
-    sigs = simhash_signatures(docs_df).toPandas()
+    sigs = simhash_signatures(docs_df, hash_mode).toPandas()
     sig_of = dict(zip(sigs.doc_id, sigs.simhash))
     want = set()
     ids = sorted(sig_of)
@@ -119,7 +126,9 @@ def test_simhash_pairs_complete_vs_bruteforce(docs_df):
         for b in ids[i + 1:]:
             if bin(int(sig_of[a]) ^ int(sig_of[b])).count("1") <= 3:
                 want.add((a, b))
-    got_pdf = simhash_pairs(docs_df, max_hamming=3, bands=4).toPandas()
+    got_pdf = simhash_pairs(
+        docs_df, max_hamming=3, bands=4, hash_mode=hash_mode
+    ).toPandas()
     got = {(int(a), int(b)) for a, b in zip(got_pdf.doc_a, got_pdf.doc_b)}
     assert got == want
     assert (0, 100) in got  # the exact copy (hamming 0)
