@@ -191,16 +191,34 @@ def unicode_segmentation_analyzer(
     case: str = "lower",
     word_break: str = "alpha",
     locale: str = "en",
+    impl: str = "auto",
 ) -> pd.Series:
     """UAX#29 segmentation token stream; vectorized over a string Series.
-    Defaults match the reference (case=lower, break=alpha)."""
+    Defaults match the reference (case=lower, break=alpha).
+
+    ``impl`` pins the segmenter: "icu" (PyICU, raises if unavailable),
+    "pure" (the bundled UAX#29 implementation), or "auto". In a
+    distributed build, "auto" is only safe on homogeneously-provisioned
+    workers — the two implementations legitimately disagree on
+    dictionary-segmented scripts (Thai/Japanese), so a mixed fleet would
+    tokenize the same doc differently on different executors and desync
+    ``dl`` from the invert kernel (the BM25-norms invariant). Use an
+    explicit impl (or a configured analyzer registered via
+    register_analyzer) to make builds environment-independent."""
     # validate options eagerly (parse_vpack_options rejects bad enums)
     _accept("x", word_break)
     _convert_case("x", case)
-    try:
-        segments = _icu_segments_fn(locale)
-    except ImportError:
+    if impl not in ("auto", "icu", "pure"):
+        raise ValueError(f"impl must be auto|icu|pure, got {impl!r}")
+    if impl == "pure":
         segments = uax29_segments
+    elif impl == "icu":
+        segments = _icu_segments_fn(locale)  # ImportError if PyICU missing
+    else:
+        try:
+            segments = _icu_segments_fn(locale)
+        except ImportError:
+            segments = uax29_segments
 
     def run(text: str) -> list[str]:
         return [

@@ -125,6 +125,23 @@ def write_manifest(index_dir: str, manifest: Manifest) -> None:
     os.rename(tmp, path)  # atomic publish == Commit()
 
 
+def prune_generations(index_dir: str, keep: int) -> list[int]:
+    """Directory-cleaner analogue (the reference's ``directory_cleaner``
+    removes committed ``segments_N`` files past a retention policy): delete
+    retained generation files, keeping the newest ``keep``. Returns the
+    pruned generation numbers. The live ``manifest.json`` is never touched,
+    so the current snapshot always survives; point-in-time reads of pruned
+    generations raise FileNotFoundError afterwards (same contract as the reference
+    reopening a cleaned segments_N)."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    gens = list_generations(index_dir)
+    victims = gens[:-keep] if len(gens) > keep else []
+    for g in victims:
+        os.remove(generation_path(index_dir, g))
+    return victims
+
+
 def read_manifest(index_dir: str, generation: int | None = None) -> Manifest | None:
     """Latest committed manifest, or — point-in-time — the retained
     ``generation`` (reopen of any committed snapshot,

@@ -348,7 +348,11 @@ def merge_segments(
             "max_freqs": maxf,
             "min_norms": minn,
         }
-        if with_positions and "positions" in pdf.columns:
+        # payload indexes carry positions even when with_positions=False
+        # (build gates the encoder on `with_positions or with_payloads`);
+        # dropping them here would desync pay_lens/payloads from the
+        # positions permutation and break term_payloads after a merge
+        if (with_positions or with_payloads) and "positions" in pdf.columns:
             pos_concat = b"".join(pdf["positions"])
             flat_pos = decode_positions(pos_concat, freqs)
             pos_keep = np.repeat(keep, freqs)

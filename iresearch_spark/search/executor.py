@@ -142,7 +142,13 @@ class SearchEngine:
 
     def _stamp(self) -> tuple:
         """(mtime_ns, size) of the manifest file this engine reads — cheap
-        change detector for cache invalidation on manifest publish."""
+        change detector for cache invalidation on manifest publish.
+
+        Generation-pinned (point-in-time) engines additionally track the
+        LIVE manifest.json: the deletes mask is unversioned (always
+        current), so a mark_deleted publish — which rewrites manifest.json
+        but never the retained gen-N file — must still invalidate proxy
+        match sets materialized under the old mask."""
         import os
 
         from iresearch_spark.index.manifest import (
@@ -150,13 +156,16 @@ class SearchEngine:
             manifest_path,
         )
 
-        p = (
-            generation_path(self.index_dir, self.generation)
-            if self.generation is not None
-            else manifest_path(self.index_dir)
+        live = os.stat(manifest_path(self.index_dir))
+        if self.generation is None:
+            return (live.st_mtime_ns, live.st_size)
+        pinned = os.stat(generation_path(self.index_dir, self.generation))
+        return (
+            pinned.st_mtime_ns,
+            pinned.st_size,
+            live.st_mtime_ns,
+            live.st_size,
         )
-        st = os.stat(p)
-        return (st.st_mtime_ns, st.st_size)
 
     def _seg_filter(self, df: DataFrame) -> DataFrame:
         """Restrict a per-segment table scan to the pinned manifest's

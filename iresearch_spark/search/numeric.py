@@ -54,7 +54,9 @@ def numeric_analyzer(s: pd.Series) -> pd.Series:
     def conv(x) -> list[str]:
         # nulls index nothing — accept None/NaN/pd.NA and '' (a NULL that
         # was string-coerced upstream) without raising
-        if x is None or x == "" or pd.isna(x):
+        # pd.isna BEFORE the '' compare: `pd.NA == ""` is pd.NA, and
+        # bool(pd.NA) raises
+        if x is None or pd.isna(x) or x == "":
             return []
         return numeric_terms(int(x))
 

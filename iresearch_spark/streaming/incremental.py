@@ -35,7 +35,12 @@ from iresearch_spark.index.build import (
     segment_expr,
     write_segment_wave,
 )
-from iresearch_spark.index.manifest import Manifest, read_manifest, write_manifest
+from iresearch_spark.index.manifest import (
+    Manifest,
+    prune_generations,
+    read_manifest,
+    write_manifest,
+)
 
 
 class IncrementalIndexer:
@@ -53,6 +58,7 @@ class IncrementalIndexer:
         field: str = "content",
         analyzer: str = "code",
         with_positions: bool = True,
+        retain_generations: int = 64,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -60,6 +66,10 @@ class IncrementalIndexer:
         self.field = field
         self.analyzer = analyzer
         self.with_positions = with_positions
+        # a per-micro-batch publisher is the one writer that accumulates
+        # generations without bound; prune to a rolling window (None/0 =
+        # keep everything, e.g. when PIT reads far back are required)
+        self.retain_generations = retain_generations
         self._seg_builder = make_seg_builder(
             spark, analyzer, field, with_positions,
             out_partitions=segments_per_batch,
@@ -135,6 +145,8 @@ class IncrementalIndexer:
                 commit_payload=m.commit_payload,
             ),
         )
+        if self.retain_generations:
+            prune_generations(self.index_dir, self.retain_generations)
         return {
             "batch_id": batch_id,
             "segments": seg_ids,

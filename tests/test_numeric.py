@@ -108,3 +108,19 @@ def test_granular_range_end_to_end(spark, tmp_path):
             & pdf["content"].str.contains("tok3")]["path"]
     )
     assert sorted(r["path"] for r in both) == want_both
+
+
+def test_numeric_analyzer_null_variants_index_nothing():
+    """None / NaN / pd.NA / '' all yield empty term lists (nulls index
+    nothing) — pd.NA in particular must not reach `x == ""` first, whose
+    result is pd.NA and whose truthiness raises."""
+    import numpy as np
+    import pandas as pd
+
+    from iresearch_spark.search.numeric import numeric_analyzer
+
+    s = pd.Series([7, None, float("nan"), pd.NA, "", "12"], dtype=object)
+    out = numeric_analyzer(s)
+    assert len(out.iloc[0]) > 0 and len(out.iloc[5]) > 0
+    for i in (1, 2, 3, 4):
+        assert out.iloc[i] == []

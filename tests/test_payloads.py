@@ -174,3 +174,25 @@ def test_term_payloads_requires_payload_index(spark, tmp_path_factory):
     build_index(spark, spark.createDataFrame(DOCS, COLS), d, num_segments=1)
     with pytest.raises(ValueError, match="payload"):
         SearchEngine(spark, d).term_payloads("spark")
+
+
+def test_merge_preserves_payloads_without_positions_flag(
+    spark, tmp_path_factory
+):
+    """with_positions=False + a payload analyzer: build still encodes
+    positions (the pay permutation needs them), and merge must carry them
+    through even though the manifest records with_positions=False —
+    dropping them would desync pay_lens/payloads from the positions
+    permutation and break term_payloads after consolidation."""
+    d = str(tmp_path_factory.mktemp("idx_pay_nopos"))
+    corpus = spark.createDataFrame(DOCS, COLS)
+    build_index(
+        spark, corpus, d, num_segments=3, analyzer="code_payload",
+        with_positions=False,
+    )
+    res = consolidate(spark, d, max_bytes=1 << 40, max_skew=1.0)
+    assert res, "expected a merge"
+    eng = SearchEngine(spark, d)
+    rows = eng.term_payloads("spark").collect()
+    got = {(r["path"], r["pos"], bytes(r["payload"])) for r in rows}
+    assert got == _expected_payloads("spark")

@@ -76,3 +76,52 @@ def test_missing_generation_raises(spark, tmp_path):
     build_index(spark, _corpus(spark), d, num_segments=2)
     with pytest.raises(FileNotFoundError, match="generation 99"):
         SearchEngine(spark, d, generation=99)
+
+
+def test_pinned_generation_proxy_sees_delete_publish(spark, tmp_path):
+    """Deletes are unversioned (the mask is always current), and a
+    mark_deleted publish rewrites manifest.json but never the retained
+    gen-N file — a generation-pinned engine's proxy cache must still be
+    invalidated, or Proxy queries keep serving the tombstoned doc while
+    direct queries on the same engine drop it."""
+    from iresearch_spark.index.deletes import mark_deleted
+    from iresearch_spark.search import Proxy
+
+    d = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark), d, num_segments=4, waves=2)
+
+    old = SearchEngine(spark, d, generation=1)
+    q = TermF(term="import")
+
+    def rows(df):
+        return sorted(
+            (r["repo"], r["path"], r["commit"]) for r in df.collect()
+        )
+
+    before = rows(old.search(Proxy(child=q), k=None))
+    assert before
+    victim = before[0]
+    mark_deleted(
+        spark, d, spark.createDataFrame([victim], ["repo", "path", "commit"])
+    )
+    after = rows(old.search(Proxy(child=q), k=None))
+    direct = rows(old.search(q, k=None))
+    assert victim not in after
+    assert after == direct
+
+
+def test_prune_generations_keeps_newest_and_live_manifest(spark, tmp_path):
+    from iresearch_spark.index.manifest import prune_generations
+
+    d = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark), d, num_segments=4, waves=4)
+    assert list_generations(d) == [1, 2, 3, 4]
+    pruned = prune_generations(d, keep=2)
+    assert pruned == [1, 2]
+    assert list_generations(d) == [3, 4]
+    # the live manifest still opens; pruned PIT reads raise
+    assert SearchEngine(spark, d).search(TermF(term="import"), k=5).count() >= 0
+    with pytest.raises(FileNotFoundError):
+        read_manifest(d, generation=1)
+    # generation 3 still reopens
+    assert read_manifest(d, generation=3) is not None

@@ -157,3 +157,34 @@ def test_text_analyzer_unicode_break_option():
     assert out.iloc[0] == [
         "file:constantinople", "今", "天", "end",
     ]
+
+
+def test_impl_pure_pins_fallback_segmenter():
+    """impl='pure' must produce the bundled UAX#29 segmentation regardless
+    of whether PyICU is importable — the knob that makes distributed builds
+    environment-independent (a mixed icu/pure fleet would tokenize the same
+    doc differently and desync dl from the invert kernel)."""
+    got = _run(DATA, case="none", impl="pure")
+    want = [
+        _t for _t in uax29_segments(DATA)
+        if any(ch.isalnum() for ch in _t)
+    ]
+    assert got == [t for t in want]
+
+
+def test_impl_icu_raises_or_segments():
+    try:
+        import icu  # noqa: F401
+        has_icu = True
+    except ImportError:
+        has_icu = False
+    if has_icu:
+        assert _run(DATA, impl="icu")
+    else:
+        with pytest.raises(ImportError):
+            _run(DATA, impl="icu")
+
+
+def test_impl_rejects_unknown():
+    with pytest.raises(ValueError):
+        _run(DATA, impl="bogus")
