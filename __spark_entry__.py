@@ -27,6 +27,24 @@ from pyspark.sql import functions as F
 
 _INDEX_CACHE: dict[str, str] = {}
 
+# long-lived readers: the reference keeps an open IndexReader (term dict in
+# memory) across queries; the engine analogue holds the manifest + term-stats
+# cache, so repeated queries skip re-reading the manifest and re-running
+# dictionary jobs. Keyed by index dir; stamp checks inside the engine keep
+# it correct across new publishes (deletes/merges/commits).
+_ENGINE_CACHE: dict = {}
+
+
+def _cached_engine(spark, idx: str, **kw):
+    from iresearch_spark.search import SearchEngine
+
+    key = (idx, tuple(sorted(kw.items())))
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None or eng.spark is not spark:
+        eng = SearchEngine(spark, idx, **kw)
+        _ENGINE_CACHE[key] = eng
+    return eng
+
 _TOK = r"[a-z_][a-z0-9_]*|[0-9]+"
 
 
@@ -83,7 +101,7 @@ def _engine(spark: SparkSession, sf_dir: str):
             spark, _corpus_from_documents(_docs(spark, sf_dir)), idx, num_segments=4
         )
         _INDEX_CACHE[key] = idx
-    return SearchEngine(spark, _INDEX_CACHE[key])
+    return _cached_engine(spark, _INDEX_CACHE[key])
 
 
 def _engine_mf(spark: SparkSession, sf_dir: str):
@@ -111,7 +129,7 @@ def _engine_mf(spark: SparkSession, sf_dir: str):
             ],
         )
         _INDEX_CACHE[key] = idx
-    return SearchEngine(spark, _INDEX_CACHE[key])
+    return _cached_engine(spark, _INDEX_CACHE[key])
 
 
 def _engine_text(spark: SparkSession, sf_dir: str):
@@ -134,7 +152,7 @@ def _engine_text(spark: SparkSession, sf_dir: str):
             analyzer="text",
         )
         _INDEX_CACHE[key] = idx
-    return SearchEngine(spark, _INDEX_CACHE[key])
+    return _cached_engine(spark, _INDEX_CACHE[key])
 
 
 def _ft(spark: SparkSession, sf_dir: str, filt, k=None, mf=False,
@@ -172,7 +190,7 @@ def _engine_pay(spark: SparkSession, sf_dir: str):
             analyzer="code_payload",
         )
         _INDEX_CACHE[key] = idx
-    return SearchEngine(spark, _INDEX_CACHE[key])
+    return _cached_engine(spark, _INDEX_CACHE[key])
 
 
 def _ft_payload(spark: SparkSession, sf_dir: str, term: str) -> DataFrame:

@@ -138,7 +138,20 @@ class SearchEngine:
         # invalidates the cache via the stamp check in _search_proxy.
         self._proxy_cache: dict[tuple, DataFrame] = {}
         self.proxy_hits = 0
+        # term-stats cache: ("t", field, term) -> df and
+        # ("l", field, leaf) -> [(term, df)] — see _batch_lookup
+        self._stats_cache: dict[tuple, object] = {}
         self._manifest_stamp = self._stamp()
+
+    def _check_stamp(self) -> None:
+        """Drop manifest-snapshot-scoped caches (proxy match sets, term
+        stats) when a new manifest has been published since the last
+        check."""
+        stamp = self._stamp()
+        if stamp != self._manifest_stamp:
+            self.clear_proxy_cache()
+            self._stats_cache.clear()
+            self._manifest_stamp = stamp
 
     def _stamp(self) -> tuple:
         """(mtime_ns, size) of the manifest file this engine reads — cheap
@@ -396,8 +409,37 @@ class SearchEngine:
         from functools import reduce
         from operator import or_
 
+        # term-stats cache — the analogue of the reference holding its term
+        # dictionary (FST + per-term meta) in memory per open reader
+        # (`core/index/index_reader.hpp:35-153`): repeat lookups of the same
+        # literal or multi-term leaf serve from the engine and skip the
+        # dictionary job entirely. Stats come from committed segment
+        # metadata (tombstones don't rewrite df — same as the reference
+        # until a merge purges), so validity is the manifest stamp, shared
+        # with the proxy cache via _check_stamp.
+        self._check_stamp()
+        if len(self._stats_cache) > 100_000:  # crude bound; real LRU at scale
+            self._stats_cache.clear()
+        dfs: dict[tuple[str, str], int] = {}
+        matches: list[list[tuple[str, int]]] = [[] for _ in leaves]
+        miss_pairs: set[tuple[str, str]] = set()
+        for p in pairs:
+            hit = self._stats_cache.get(("t",) + p)
+            if hit is None:
+                miss_pairs.add(p)
+                dfs[p] = 0
+            else:
+                dfs[p] = hit
+        miss_leaves: list[tuple[int, str, Filter]] = []
+        for i, (fld, leaf) in enumerate(leaves):
+            hit = self._stats_cache.get(("l", fld, leaf))
+            if hit is None:
+                miss_leaves.append((i, fld, leaf))
+            else:
+                matches[i] = hit
+
         by_field: dict[str, set[str]] = {}
-        for fld, term in pairs:
+        for fld, term in miss_pairs:
             by_field.setdefault(fld, set()).add(term)
         literal_preds = [
             (F.col("field") == fld) & F.col("term").isin(sorted(terms))
@@ -405,16 +447,14 @@ class SearchEngine:
         ]
         leaf_preds = [
             (F.col("field") == fld) & self._leaf_pred(leaf)
-            for fld, leaf in leaves
+            for _i, fld, leaf in miss_leaves
         ]
-        dfs = {p: 0 for p in pairs}
-        matches: list[list[tuple[str, int]]] = [[] for _ in leaves]
         all_preds = literal_preds + leaf_preds
         if not all_preds:
             return dfs, matches
         combined = reduce(or_, all_preds)
         sel = [F.col("field"), F.col("term"), F.col("df")]
-        sel += [p.alias(f"m{i}") for i, p in enumerate(leaf_preds)]
+        sel += [p.alias(f"m{j}") for j, p in enumerate(leaf_preds)]
         rows = (
             self._seg_filter(
                 self.spark.read.schema(SEGMENTS_SCHEMA)
@@ -428,12 +468,14 @@ class SearchEngine:
         )
         for r in rows:
             key = (r["field"], r["term"])
-            if key in dfs:
+            if key in miss_pairs:
                 dfs[key] = int(r["df"])
-            for i in range(len(leaves)):
-                if r[f"m{i}"]:
+            for j, (i, _fld, _leaf) in enumerate(miss_leaves):
+                if r[f"m{j}"]:
                     matches[i].append((r["term"], int(r["df"])))
-        for i, (_fld, leaf) in enumerate(leaves):
+        for p in miss_pairs:
+            self._stats_cache[("t",) + p] = dfs[p]
+        for i, fld, leaf in miss_leaves:
             if isinstance(leaf, Fuzzy) and leaf.with_transpositions:
                 matches[i] = [
                     (t, df_)
@@ -441,6 +483,7 @@ class SearchEngine:
                     if damerau_levenshtein(t, leaf.term) <= leaf.max_distance
                 ]
             matches[i].sort(key=lambda td: td[0])
+            self._stats_cache[("l", fld, leaf)] = matches[i]
         return dfs, matches
 
     # ------------------------------------------------------------- prepare
@@ -794,10 +837,7 @@ class SearchEngine:
         ``mark_deleted``, merge, new commit) changes the manifest file, and
         the stamp check here drops every cached match set so deletes are
         never served from a stale proxy."""
-        stamp = self._stamp()
-        if stamp != self._manifest_stamp:
-            self.clear_proxy_cache()
-            self._manifest_stamp = stamp
+        self._check_stamp()
         key = (repr(f.child), dtype)
         cached = self._proxy_cache.get(key)
         if cached is None:
