@@ -1333,6 +1333,17 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             theta = np.partition(s1, -k)[-k]
             mask2 = ub >= np.float64(theta)
             mask2 &= ~mask1  # already have exact scores for mask1 docs
+            # degenerate pruning guard: on low-score-variance corpora the
+            # k-th threshold sits below most docs' upper bounds, so phase 2
+            # would re-decode nearly every block AFTER the bootstrap pass —
+            # 2x an exhaustive scan. When the survivor set is dense, one
+            # full pass is strictly cheaper (the reference's wanderator has
+            # the same regime: dense hot-term disjunctions skip nothing).
+            if mask2.sum() > 0.25 * (ndocs + 1):
+                cand = np.ones(ndocs + 1, dtype=bool)
+                acc, matched = score_subset(cand)
+                docs = np.flatnonzero(matched)
+                return docs, acc[docs]
             acc2, matched2 = score_subset(mask2)
             acc = acc1 + acc2
             matched = matched1 | matched2
