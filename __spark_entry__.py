@@ -90,7 +90,6 @@ def _corpus_from_documents(docs: DataFrame) -> DataFrame:
 
 def _engine(spark: SparkSession, sf_dir: str):
     from iresearch_spark.index.build import build_index
-    from iresearch_spark.search import SearchEngine
 
     key = os.path.abspath(sf_dir)
     if key not in _INDEX_CACHE:
@@ -108,7 +107,6 @@ def _engine_mf(spark: SparkSession, sf_dir: str):
     """Two-field index (content + lang): the reference's N-fields-per-doc
     model (`core/index/segment_writer.hpp:91-119`)."""
     from iresearch_spark.index.build import build_index
-    from iresearch_spark.search import SearchEngine
 
     key = os.path.abspath(sf_dir) + "#mf"
     if key not in _INDEX_CACHE:
@@ -136,7 +134,6 @@ def _engine_text(spark: SparkSession, sf_dir: str):
     """Index under the `text` analyzer (lower -> accent strip -> stopwords
     -> snowball stem, text_token_stream.cpp order)."""
     from iresearch_spark.index.build import build_index
-    from iresearch_spark.search import SearchEngine
 
     key = os.path.abspath(sf_dir) + "#text"
     if key not in _INDEX_CACHE:
@@ -174,7 +171,6 @@ def _engine_pay(spark: SparkSession, sf_dir: str):
     """Payload index: per-position user bytes (IndexFeatures::PAY,
     token_attributes.hpp:67-72) — here the original-case token form."""
     from iresearch_spark.index.build import build_index
-    from iresearch_spark.search import SearchEngine
 
     key = os.path.abspath(sf_dir) + "#pay"
     if key not in _INDEX_CACHE:

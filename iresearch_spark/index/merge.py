@@ -352,7 +352,16 @@ def merge_segments(
         # (build gates the encoder on `with_positions or with_payloads`);
         # dropping them here would desync pay_lens/payloads from the
         # positions permutation and break term_payloads after a merge
-        if (with_positions or with_payloads) and "positions" in pdf.columns:
+        # per-bucket data gate, not the manifest flag alone: in a mixed
+        # multi-field payload index built with with_positions=False, the
+        # payload field's rows carry positions (the pay permutation needs
+        # them) while plain fields' rows are null — a bucket is one
+        # (field, term), so its rows are uniformly one or the other
+        if (
+            (with_positions or with_payloads)
+            and "positions" in pdf.columns
+            and pdf["positions"].notna().all()
+        ):
             pos_concat = b"".join(pdf["positions"])
             flat_pos = decode_positions(pos_concat, freqs)
             pos_keep = np.repeat(keep, freqs)

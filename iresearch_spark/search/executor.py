@@ -107,15 +107,29 @@ class SearchEngine:
         self.index_dir = index_dir
         self.scorer = scorer or BM25()
         self.generation = generation
-        m = read_manifest(index_dir, generation)
+        # proxy_filter cache: repr(filter) -> persisted full match set.
+        # Snapshot semantics: entries bake in the document mask at
+        # materialization time; a new manifest publish (delete/merge/commit)
+        # invalidates the cache via the stamp check in _search_proxy.
+        self._proxy_cache: dict[tuple, DataFrame] = {}
+        self.proxy_hits = 0
+        # term-stats cache: ("t", field, term) -> df and
+        # ("l", field, leaf) -> [(term, df)] — see _batch_lookup
+        self._stats_cache: dict[tuple, object] = {}
+        self._load_manifest()
+        self._manifest_stamp = self._stamp()
+
+    def _load_manifest(self) -> None:
+        """(Re)load every manifest-derived attribute: the segment view and
+        the per-field GLOBAL stats (multi-field: segment_writer.hpp:91-119;
+        primary field stats live at the segment record's top level,
+        secondary fields under rec["fields"][name])."""
+        m = read_manifest(self.index_dir, self.generation)
         if m is None:
-            raise FileNotFoundError(f"no manifest in {index_dir}")
+            raise FileNotFoundError(f"no manifest in {self.index_dir}")
         self.manifest = m
         self._seg_ids = sorted(int(s["segment_id"]) for s in m.segments)
         self.field = m.field_name
-        # per-field GLOBAL stats (multi-field: segment_writer.hpp:91-119);
-        # primary field stats live at the segment record's top level,
-        # secondary fields under rec["fields"][name]
         self.field_stats: dict[str, tuple[int, int]] = {}
         for name, _az in m.field_specs():
             if name == m.field_name:
@@ -132,25 +146,22 @@ class SearchEngine:
                 )
             self.field_stats[name] = (dwf, ttf)
         self.docs_with_field, self.total_term_freq = self.field_stats[self.field]
-        # proxy_filter cache: repr(filter) -> persisted full match set.
-        # Snapshot semantics: entries bake in the document mask at
-        # materialization time; a new manifest publish (delete/merge/commit)
-        # invalidates the cache via the stamp check in _search_proxy.
-        self._proxy_cache: dict[tuple, DataFrame] = {}
-        self.proxy_hits = 0
-        # term-stats cache: ("t", field, term) -> df and
-        # ("l", field, leaf) -> [(term, df)] — see _batch_lookup
-        self._stats_cache: dict[tuple, object] = {}
-        self._manifest_stamp = self._stamp()
 
     def _check_stamp(self) -> None:
-        """Drop manifest-snapshot-scoped caches (proxy match sets, term
-        stats) when a new manifest has been published since the last
-        check."""
+        """React to a new manifest publish since the last check: drop the
+        snapshot-scoped caches (proxy match sets, term stats) and — for a
+        live (non-pinned) engine — reload the manifest-derived segment view
+        and global stats, so a long-lived reader sees new commits and
+        merges (the reference's reopen). A generation-pinned engine keeps
+        its immutable segment view (point-in-time semantics) but still
+        drops caches: the document mask is unversioned, so a delete publish
+        must not be served from stale match sets."""
         stamp = self._stamp()
         if stamp != self._manifest_stamp:
             self.clear_proxy_cache()
             self._stats_cache.clear()
+            if self.generation is None:
+                self._load_manifest()
             self._manifest_stamp = stamp
 
     def _stamp(self) -> tuple:
@@ -244,6 +255,7 @@ class SearchEngine:
         return base.withColumn("deleted", F.lit(False))
 
     def docmeta_df(self) -> DataFrame:
+        self._check_stamp()
         return self._seg_filter(
             self.spark.read.schema(DOCMETA_SCHEMA).parquet(
                 f"{self.index_dir}/docmeta"
@@ -259,6 +271,7 @@ class SearchEngine:
         column pruning = the reference opening the .pay file on demand).
 
         Returns (segment_id, doc_id, repo, path, commit, pos, payload)."""
+        self._check_stamp()
         if not getattr(self.manifest, "with_payloads", False):
             raise ValueError(
                 "index was not built with a payload analyzer "
@@ -436,7 +449,7 @@ class SearchEngine:
             if hit is None:
                 miss_leaves.append((i, fld, leaf))
             else:
-                matches[i] = hit
+                matches[i] = list(hit)  # copy: callers own their list
 
         by_field: dict[str, set[str]] = {}
         for fld, term in miss_pairs:
@@ -483,7 +496,9 @@ class SearchEngine:
                     if damerau_levenshtein(t, leaf.term) <= leaf.max_distance
                 ]
             matches[i].sort(key=lambda td: td[0])
-            self._stats_cache[("l", fld, leaf)] = matches[i]
+            # store an immutable snapshot so no caller aliasing can
+            # corrupt the cache
+            self._stats_cache[("l", fld, leaf)] = tuple(matches[i])
         return dfs, matches
 
     # ------------------------------------------------------------- prepare

@@ -58,7 +58,7 @@ class IncrementalIndexer:
         field: str = "content",
         analyzer: str = "code",
         with_positions: bool = True,
-        retain_generations: int = 64,
+        retain_generations: int | None = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -67,8 +67,10 @@ class IncrementalIndexer:
         self.analyzer = analyzer
         self.with_positions = with_positions
         # a per-micro-batch publisher is the one writer that accumulates
-        # generations without bound; prune to a rolling window (None/0 =
-        # keep everything, e.g. when PIT reads far back are required)
+        # generations without bound; set a rolling window (e.g. 64) to
+        # prune old snapshot files each publish. OPT-IN (default None =
+        # keep everything): pruning deletes gen files that generation-
+        # pinned point-in-time readers may still be holding open.
         self.retain_generations = retain_generations
         self._seg_builder = make_seg_builder(
             spark, analyzer, field, with_positions,

@@ -196,3 +196,29 @@ def test_merge_preserves_payloads_without_positions_flag(
     rows = eng.term_payloads("spark").collect()
     got = {(r["path"], r["pos"], bytes(r["payload"])) for r in rows}
     assert got == _expected_payloads("spark")
+
+
+def test_mixed_fields_merge_without_positions_flag(spark, tmp_path_factory):
+    """Mixed payload + plain fields AND with_positions=False: the payload
+    field's rows carry positions (the pay permutation needs them) while the
+    plain field's rows are null — the merge's per-bucket data gate must
+    keep the former and skip the latter without crashing on the nulls."""
+    d = str(tmp_path_factory.mktemp("idx_pay_mixed_nopos"))
+    corpus = spark.createDataFrame(DOCS, COLS)
+    build_index(
+        spark, corpus, d, num_segments=3, with_positions=False,
+        fields=[("content", "code_payload"), ("lang", "code")],
+    )
+    res = consolidate(spark, d, max_bytes=1 << 40, max_skew=1.0)
+    assert res, "expected a merge"
+    eng = SearchEngine(spark, d)
+    rows = eng.term_payloads("spark").collect()
+    got = {(r["path"], r["pos"], bytes(r["payload"])) for r in rows}
+    assert got == _expected_payloads("spark")
+    lang_hits = sorted(
+        r["path"]
+        for r in eng.search(
+            TermF(field_name="lang", term="py"), k=None
+        ).collect()
+    )
+    assert lang_hits == ["0001", "0002", "0003", "0004"]

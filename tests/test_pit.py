@@ -6,6 +6,7 @@ every scan to that snapshot's segment set, so pre-merge segments kept with
 ``merge_segments(cleanup=False)`` read exactly as committed."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from iresearch_spark.corpus import generate_corpus
 from iresearch_spark.index.build import build_index
@@ -125,3 +126,37 @@ def test_prune_generations_keeps_newest_and_live_manifest(spark, tmp_path):
         read_manifest(d, generation=1)
     # generation 3 still reopens
     assert read_manifest(d, generation=3) is not None
+
+
+def test_live_engine_sees_new_commits_and_merges(spark, tmp_path):
+    """A long-lived (non-pinned) engine must reload its segment view and
+    global BM25 stats on any manifest publish: new commits become visible
+    and a consolidation with cleanup=True never leaves the engine pointing
+    at deleted segment files. (Generation-pinned engines keep their
+    immutable snapshot — covered by the tests above.)"""
+    d = str(tmp_path / "idx")
+    build_index(spark, _corpus(spark), d, num_segments=4, waves=2)
+    eng = SearchEngine(spark, d)
+    n_before = len(_ident_scores(eng))
+    assert n_before > 0
+
+    # publish a new commit through the incremental path: +40 docs
+    from iresearch_spark.streaming.incremental import IncrementalIndexer
+
+    extra = generate_corpus(spark, 40, num_partitions=1, min_tokens=20,
+                            max_tokens=120).withColumn(
+        "repo", F.concat(F.lit("late/"), F.col("repo"))
+    )
+    IncrementalIndexer(spark, d, segments_per_batch=2).process_batch(extra, 1)
+    rows_after_commit = _ident_scores(eng)
+    assert len(rows_after_commit) > n_before  # new docs visible
+    assert any(r[0].startswith("late/") for r in rows_after_commit)
+
+    # consolidate (cleanup=True default): merged-away segment files are DELETED;
+    # the same engine object must reload and return the identical result
+    from iresearch_spark.index.merge import consolidate
+
+    res = consolidate(spark, d, max_bytes=1 << 40, max_skew=1.0)
+    assert res
+    rows_after_merge = _ident_scores(eng)
+    assert rows_after_merge == rows_after_commit
