@@ -351,25 +351,61 @@ def merge_segments(
         # payload indexes carry positions even when with_positions=False
         # (build gates the encoder on `with_positions or with_payloads`);
         # dropping them here would desync pay_lens/payloads from the
-        # positions permutation and break term_payloads after a merge
-        # per-bucket data gate, not the manifest flag alone: in a mixed
-        # multi-field payload index built with with_positions=False, the
-        # payload field's rows carry positions (the pay permutation needs
-        # them) while plain fields' rows are null — a bucket is one
-        # (field, term), so its rows are uniformly one or the other
-        if (
-            (with_positions or with_payloads)
-            and "positions" in pdf.columns
-            and pdf["positions"].notna().all()
-        ):
-            pos_concat = b"".join(pdf["positions"])
-            flat_pos = decode_positions(pos_concat, freqs)
+        # positions permutation and break term_payloads after a merge.
+        # The data gate is PER OUTPUT TERM, never per bucket: a bucket
+        # holds many (field, term) pairs (xxhash64 % bucket_count), so a
+        # mixed multi-field payload index built with with_positions=False
+        # can land positions-bearing rows (payload field) and null rows
+        # (plain fields) in the SAME bucket. Null rows get zero
+        # placeholders through the shared permutation and their output
+        # terms are nulled back out below, mirroring the payload branch.
+        has_pos = (
+            pdf["positions"].notna().to_numpy()
+            if "positions" in pdf.columns
+            else np.zeros(len(pdf), dtype=bool)
+        )
+        if (with_positions or with_payloads) and has_pos.any():
+            if has_pos.all():
+                pos_concat = b"".join(pdf["positions"])
+                flat_pos = decode_positions(pos_concat, freqs)
+            else:
+                rsp = np.concatenate([[0], np.cumsum(counts)])[:-1]
+                parts = []
+                for i in range(len(pdf)):
+                    f_row = freqs[rsp[i] : rsp[i] + counts[i]]
+                    if has_pos[i]:
+                        parts.append(
+                            decode_positions(pdf["positions"].iloc[i], f_row)
+                        )
+                    else:
+                        parts.append(
+                            np.zeros(int(f_row.sum()), dtype=np.int64)
+                        )
+                flat_pos = (
+                    np.concatenate(parts)
+                    if parts
+                    else np.empty(0, dtype=np.int64)
+                )
             pos_keep = np.repeat(keep, freqs)
             pblobs, poffs = encode_positions_batch(
                 kept_freqs, flat_pos[pos_keep], lengths
             )
-            out["positions"] = pblobs
-            out["pos_offsets"] = poffs
+            # an output term's rows all come from one (field, term) —
+            # term_change splits on field — so the representative input
+            # row decides whether the term really carries positions
+            src_has_pos = has_pos[trow_starts[meta]]
+            if src_has_pos.all():
+                out["positions"] = pblobs
+                out["pos_offsets"] = poffs
+            else:
+                out["positions"] = [
+                    b if src_has_pos[j] else None
+                    for j, b in enumerate(pblobs)
+                ]
+                out["pos_offsets"] = [
+                    o if src_has_pos[j] else None
+                    for j, o in enumerate(poffs)
+                ]
         else:
             out["positions"] = None
             out["pos_offsets"] = None

@@ -201,20 +201,35 @@ def test_merge_preserves_payloads_without_positions_flag(
 def test_mixed_fields_merge_without_positions_flag(spark, tmp_path_factory):
     """Mixed payload + plain fields AND with_positions=False: the payload
     field's rows carry positions (the pay permutation needs them) while the
-    plain field's rows are null — the merge's per-bucket data gate must
-    keep the former and skip the latter without crashing on the nulls."""
+    plain field's rows are null — the merge's data gate is per OUTPUT TERM
+    (a bucket holds many (field, term) pairs), so a bucket mixing both
+    kinds must keep positions for the payload terms and null them for the
+    plain ones. bucket_count=1 forces EVERY term into one mixed bucket —
+    the deterministic worst case — and every payload term is checked, not
+    just one that happens to dodge the collision."""
+    from iresearch_spark.index.manifest import read_manifest as _rm
+    from iresearch_spark.index.merge import merge_segments
+
     d = str(tmp_path_factory.mktemp("idx_pay_mixed_nopos"))
     corpus = spark.createDataFrame(DOCS, COLS)
     build_index(
         spark, corpus, d, num_segments=3, with_positions=False,
         fields=[("content", "code_payload"), ("lang", "code")],
     )
-    res = consolidate(spark, d, max_bytes=1 << 40, max_skew=1.0)
-    assert res, "expected a merge"
+    seg_ids = [s["segment_id"] for s in _rm(d).segments]
+    merge_segments(spark, d, seg_ids, bucket_count=1)
     eng = SearchEngine(spark, d)
-    rows = eng.term_payloads("spark").collect()
-    got = {(r["path"], r["pos"], bytes(r["payload"])) for r in rows}
-    assert got == _expected_payloads("spark")
+    import re
+
+    all_terms = {
+        t.lower()
+        for _, _, _, _, content in DOCS
+        for t in re.findall(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+", content)
+    }
+    for term in sorted(all_terms):
+        rows = eng.term_payloads(term).collect()
+        got = {(r["path"], r["pos"], bytes(r["payload"])) for r in rows}
+        assert got == _expected_payloads(term), term
     lang_hits = sorted(
         r["path"]
         for r in eng.search(
@@ -222,3 +237,5 @@ def test_mixed_fields_merge_without_positions_flag(spark, tmp_path_factory):
         ).collect()
     )
     assert lang_hits == ["0001", "0002", "0003", "0004"]
+    # the plain field's merged rows must stay positions-null
+    assert eng.term_payloads("py", field_name="lang").count() == 0
