@@ -10,11 +10,13 @@ SURVEY §3.2) Spark-first:
    and bake per-term-instance score constants (c0) exactly like
    `Scorer::collect` (`bm25.cpp:366-410`). Global, never per-segment stats:
    the rank-identity requirement of `term_filter.cpp:92-129`.
-2. **execute** (cluster): cogroup the needed postings rows with the per-doc
-   norms by segment; one Arrow kernel per segment evaluates the boolean tree
-   with numpy set ops (conjunction = intersect1d ordered by cost,
-   disjunction = bincount-union with min_match, exclusion = isin mask —
-   SURVEY §2.5) and returns the segment-local top-k.
+2. **execute** (cluster): cogroup the needed postings rows with the
+   per-SEGMENT packed norms blobs (one row per segment — O(segments), never
+   an O(corpus) docmeta scan per query; see ``norms_blob_df``); one Arrow
+   kernel per segment evaluates the boolean tree with numpy set ops
+   (conjunction = intersect1d ordered by cost, disjunction = bincount-union
+   with min_match, exclusion = isin mask — SURVEY §2.5) and returns the
+   segment-local top-k.
 3. **reduce**: global ``orderBy(score desc, segment_id, doc_id).limit(k)``
    (ties broken by ascending docID, like the reference test expectations),
    then a broadcast join back to docmeta for (repo, path, commit) identity.
@@ -116,6 +118,9 @@ class SearchEngine:
         # term-stats cache: ("t", field, term) -> df and
         # ("l", field, leaf) -> [(term, df)] — see _batch_lookup
         self._stats_cache: dict[tuple, object] = {}
+        # per-segment packed norms (see norms_blob_df): built once per
+        # manifest publish, persisted; invalidated by the stamp check
+        self._norms_blob: DataFrame | None = None
         self._load_manifest()
         self._manifest_stamp = self._stamp()
 
@@ -160,6 +165,9 @@ class SearchEngine:
         if stamp != self._manifest_stamp:
             self.clear_proxy_cache()
             self._stats_cache.clear()
+            if self._norms_blob is not None:
+                self._norms_blob.unpersist()
+                self._norms_blob = None
             if self.generation is None:
                 self._load_manifest()
             self._manifest_stamp = stamp
@@ -253,6 +261,60 @@ class SearchEngine:
                 "deleted", F.coalesce(F.col("deleted"), F.lit(False))
             )
         return base.withColumn("deleted", F.lit(False))
+
+    def norms_blob_df(self) -> DataFrame:
+        """Per-SEGMENT packed norms: ONE row per live segment carrying the
+        dense per-doc token counts as an int32 blob per field (index =
+        doc_id - 1; doc ids are dense 1..docs per segment — the build/merge
+        invariant) plus the sorted tombstone id list. This is the kernel's
+        whole per-doc side, so a query's norms input is O(segments) rows,
+        never an O(corpus) docmeta scan + exchange per query — the
+        reference reads norms from a per-segment columnstore file opened
+        once per reader (`core/index/norm.hpp:75-197`, `formats_10.cpp`
+        norm column), not by re-scanning document metadata per query.
+
+        Built once per manifest publish (the reader-open cost, amortized
+        across every subsequent query on this engine), persisted
+        cluster-side, and invalidated by the manifest stamp check (a
+        commit/merge/delete publish rebuilds it, so tombstones are baked
+        into the blob of the snapshot they belong to)."""
+        self._check_stamp()
+        if self._norms_blob is not None:
+            return self._norms_blob
+        from pyspark import StorageLevel
+
+        extra = sorted(n for n in self.field_stats if n != self.field)
+        dl_cols = ["dl"] + [f"dl_{n}" for n in extra]
+        schema = (
+            "segment_id int, ndocs int, "
+            + ", ".join(f"{c} binary" for c in dl_cols)
+            + ", deleted_ids binary"
+        )
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            n = int(ids.max())
+            out: dict[str, list] = {
+                "segment_id": [int(pdf["segment_id"].iloc[0])],
+                "ndocs": [n],
+            }
+            for c in dl_cols:
+                a = np.zeros(n, dtype=np.int32)
+                a[ids - 1] = pdf[c].fillna(0).to_numpy(np.int32)
+                out[c] = [a.tobytes()]
+            dels = np.sort(ids[pdf["deleted"].to_numpy(bool)])
+            out["deleted_ids"] = [dels.astype(np.int32).tobytes()]
+            return pd.DataFrame(out)
+
+        blob = (
+            self.norms_df()
+            .groupby("segment_id")
+            .applyInPandas(pack, schema=schema)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        blob.count()  # materialize now: later queries only read the cache
+        self._norms_blob = blob
+        return blob
 
     def docmeta_df(self) -> DataFrame:
         self._check_stamp()
@@ -806,7 +868,7 @@ class SearchEngine:
             )
         else:
             seg_df = seg_df.filter(F.col("field") == self.field).limit(0)
-        norms = self.norms_df()
+        norms = self.norms_blob_df()
 
         local_topk = (
             seg_df.groupby("segment_id")
@@ -901,27 +963,26 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
         )
         if right.empty:
             return empty
+        # right = ONE packed-norms row for this segment (norms_blob_df):
+        # dense int32 dl blob per field (index = doc_id - 1) + tombstones
         segment_id = int(right["segment_id"].iloc[0])
-        doc_ids_all = right["doc_id"].to_numpy(np.int64)
-        ndocs = int(doc_ids_all.max())
+        ndocs = int(right["ndocs"].iloc[0])
         # per-field dense norm lookups (primary field's norms are the ``dl``
-        # column, secondary fields ride in ``dl_<name>``)
+        # blob, secondary fields ride in ``dl_<name>`` blobs)
         dl_arrs: dict[str, np.ndarray] = {}
 
         def dl_arr_of(fld: str) -> np.ndarray:
             if fld not in dl_arrs:
                 col = "dl" if fld == primary_field else f"dl_{fld}"
                 a = np.zeros(ndocs + 1, dtype=np.int64)
-                a[doc_ids_all] = right[col].to_numpy(np.int64)
+                a[1:] = np.frombuffer(right[col].iloc[0], dtype=np.int32)
                 dl_arrs[fld] = a
             return dl_arrs[fld]
 
         del_arr = np.zeros(ndocs + 1, dtype=bool)
-        if "deleted" in right.columns:
-            del_arr[doc_ids_all] = right["deleted"].to_numpy(bool)
-            live_mask_rows = ~right["deleted"].to_numpy(bool)
-        else:
-            live_mask_rows = np.ones(doc_ids_all.size, dtype=bool)
+        del_blob = right["deleted_ids"].iloc[0]
+        if del_blob is not None and len(del_blob):
+            del_arr[np.frombuffer(del_blob, dtype=np.int32)] = True
 
         # (field, term) -> segment rowS: normally one row, but a giant
         # term's postings may be SHARDED into several disjoint doc-range
@@ -1067,14 +1128,15 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             if op == "empty":
                 return np.empty(0, np.int64), np.empty(0, dtype)
             if op == "all":
-                docs = np.sort(doc_ids_all[live_mask_rows])
+                docs = np.flatnonzero(~del_arr[1:]).astype(np.int64) + 1
                 return docs, np.zeros(docs.size, dtype)
             if op == "exists":
                 dl_f = dl_arr_of(node.get("field", primary_field))
-                docs = np.sort(
-                    doc_ids_all[
-                        (dl_f[doc_ids_all] > 0) & live_mask_rows
-                    ]
+                docs = (
+                    np.flatnonzero((dl_f[1:] > 0) & ~del_arr[1:]).astype(
+                        np.int64
+                    )
+                    + 1
                 )
                 return docs, np.full(docs.size, dtype(node["boost"]), dtype)
             if op == "terms":

@@ -125,6 +125,35 @@ def test_fuzzy_prefilter_sound_at_position_zero(spark, tmp_path_factory):
     assert "f4.py" not in hits and "f5.py" not in hits
 
 
+def test_query_norms_side_is_packed_blobs_not_docmeta_scan(engine):
+    """The kernel's per-doc side must be the per-segment packed-norms cache
+    (O(segments) rows), never a per-query O(corpus) docmeta parquet scan +
+    exchange — the last query-side 100x scale-killer. The docmeta scan is
+    paid ONCE per manifest publish (norms_blob_df, the reader-open cost);
+    every query plan then reads the InMemoryRelation. The only docmeta
+    read allowed in a query plan is the bounded identity join, so the
+    kernel plan (with_identity=False) must contain NO docmeta scan."""
+    engine.norms_blob_df()  # warm the reader (open cost, once per publish)
+    df = engine.search(TermF(term="import"), k=5, with_identity=False)
+    opt = _optimized(df)
+    assert "InMemoryRelation" in opt, opt
+    # any 'docmeta' mention must be INSIDE the InMemoryRelation's recorded
+    # build lineage (served from cache), never a live scan of its own
+    if "docmeta" in opt:
+        assert opt.index("InMemoryRelation") < opt.index("docmeta"), opt
+    head = opt.split("InMemoryRelation")[0]
+    assert "docmeta" not in head, head
+    # the blob side is O(segments): one packed row per live segment
+    blobs = engine.norms_blob_df()
+    assert blobs.count() == len(engine._seg_ids)
+    ndocs = {r["segment_id"]: r["ndocs"] for r in blobs.collect()}
+    man_docs = {
+        int(s["segment_id"]): int(s["docs"])
+        for s in engine.manifest.segments
+    }
+    assert ndocs == man_docs
+
+
 def test_identity_join_broadcasts_only_bounded_topk(engine):
     bounded = _optimized(engine.search(TermF(term="import"), k=5))
     unbounded = _optimized(engine.search(TermF(term="import"), k=None))
