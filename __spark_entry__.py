@@ -1463,9 +1463,12 @@ WITH toks AS (
   FROM documents
 ),
 sh AS (
+  -- 15 hex digits (60 bits, BIGINT-safe) reduced into the 31-bit Mersenne
+  -- field: full ~31-bit shingle-hash space (a 28-bit truncation collides
+  -- at ~16k distinct shingles), every affine product stays < 2^62
   SELECT a.doc_id,
          ('0x' || substr(md5(a.term || chr(31) || b.term || chr(31) || c.term),
-                         1, 7))::BIGINT AS h
+                         1, 15))::BIGINT % {p31} AS h
   FROM toks a
   JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
   JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2

@@ -289,6 +289,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.15,
     shingle: int = 3,
     hash_mode: str = "sip",
+    expand: str = "pairs",
 ) -> DataFrame:
     """MinHash signatures + banded LSH candidate pairs with estimated Jaccard.
 
@@ -297,11 +298,34 @@ def minhash_lsh_pairs(
     agreeing hash slots, i.e. estimated Jaccard over shingle sets. Returns
     (doc_a, doc_b, est_jaccard >= threshold).
 
+    Two-level plan (same shape as :func:`simhash_pairs` — dedup corpora are
+    full of exact duplicates, so this matters more here than anywhere):
+
+    1. **Collapse identical signatures.** g exact-duplicate docs put g
+       identical band hashes in EVERY band; a document-level band join makes
+       that O(g^2 * bands) candidates before dedup. Candidates are therefore
+       generated over one row per DISTINCT signature (keyed by its
+       representative = min doc_id); identical-signature groups never enter
+       the band join — they expand directly with est_jaccard = 1.0 (all
+       slots agree).
+    2. **Banded join + verify over distinct signatures**, then expansion
+       back to documents: ``expand="pairs"`` (default) emits every
+       qualifying document pair (output-faithful; output itself is O(g^2)
+       per duplicate group); ``expand="star"`` is the 10^9-doc shape —
+       member->representative edges within a signature group and
+       representative->representative across groups, O(docs + sig-pairs)
+       edges with the same connected components.
+
     ``hash_mode="md5"`` runs the identical pipeline in the 31-bit Mersenne
-    field over md5 shingle hashes — bit-exact reproducible in DuckDB SQL
-    (the driver's oracle twin); "sip" is the faster default.
+    field over md5 shingle hashes reduced mod 2^31-1 (15 hex digits = 60
+    bits of md5, then the modular reduction — full ~31-bit hash space, no
+    28-bit birthday collisions, every product < 2^62) — bit-exact
+    reproducible in DuckDB SQL (the driver's oracle twin); "sip" is the
+    faster default.
     """
     assert num_hashes % bands == 0
+    if expand not in ("pairs", "star"):
+        raise ValueError(f"expand must be 'pairs' or 'star', got {expand!r}")
     r = num_hashes // bands
     if hash_mode == "md5":
         A, B = md5_minhash_constants(num_hashes)
@@ -316,8 +340,15 @@ def minhash_lsh_pairs(
     def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             doc_ids, hashes, starts = _flat_doc_tokens(
-                pdf, shingle, hash_mode, md5_hex=7
+                pdf, shingle, hash_mode, md5_hex=15
             )
+            if hash_mode == "md5":
+                # reduce the 60-bit truncated md5 into the 31-bit field
+                # BEFORE the affine pass: h' < 2^31 keeps A*h' + B < 2^62
+                # (uint64/BIGINT-exact), and the ~31-bit space avoids the
+                # birthday collisions a 28-bit truncation hits at ~16k
+                # distinct shingles
+                hashes = hashes % p
             if doc_ids.size == 0:
                 yield pd.DataFrame(
                     {
@@ -360,23 +391,27 @@ def minhash_lsh_pairs(
                 }
             )
 
-    # signatures are consumed three times (bucket explode + both sides of
-    # the verify join): persist for the run, cut lineage on the (much
-    # smaller) pair result, then release the signature blocks — repeated
-    # calls (bench loops, streaming cadence) must not accumulate pinned
-    # storage. At real scale this persist becomes a parquet staging write.
-    sig_df = (
-        docs.select("doc_id", "text")
-        .mapInPandas(
-            sigs,
-            schema="doc_id long, sig array<long>, band_hashes array<long>",
-        )
+    sig_df = docs.select("doc_id", "text").mapInPandas(
+        sigs,
+        schema="doc_id long, sig array<long>, band_hashes array<long>",
+    )
+    # signature-group view: one shuffle on the full signature (band hashes
+    # are a function of the signature, so equal sigs share every band) —
+    # feeds the distinct-signature band join AND both expansion sides:
+    # persist for the run (at real scale: a parquet staging write)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sig")
+    mem = (
+        sig_df.withColumn("rep", F.min("doc_id").over(w))
+        .withColumn("n_members", F.count("*").over(w))
         .persist()
     )
-    # narrow bucket rows (3 ints) for the candidate join; signatures joined
-    # back only for surviving pairs
-    buckets = sig_df.select(
-        "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
+    groups = mem.filter(F.col("doc_id") == F.col("rep"))
+    # narrow bucket rows (3 ints) per DISTINCT signature for the candidate
+    # join; signatures joined back only for surviving representative pairs
+    buckets = groups.select(
+        "rep", F.posexplode("band_hashes").alias("band", "band_hash")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -385,17 +420,16 @@ def minhash_lsh_pairs(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["rep_a", "rep_b"])
     )
-    sa = sig_df.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig_df.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    cand = cand.join(sa, "doc_a").join(sb, "doc_b")
+    ga = groups.select(F.col("rep").alias("rep_a"), F.col("sig").alias("sig_a"))
+    gb = groups.select(F.col("rep").alias("rep_b"), F.col("sig").alias("sig_b"))
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
@@ -403,13 +437,59 @@ def minhash_lsh_pairs(
         )
     )
     est = agree / F.lit(float(num_hashes))
-    result = cand.select(
-        "doc_a", "doc_b", F.round(est, 4).alias("est_jaccard")
-    ).filter(est >= threshold)
+    rep_pairs = (
+        cand.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .filter(est >= threshold)
+        .select("rep_a", "rep_b", F.round(est, 4).alias("est_jaccard"))
+    )
+    one = F.round(F.lit(1.0), 4).alias("est_jaccard")
+    if expand == "pairs":
+        # cross-signature: members of rep_a's group x members of rep_b's;
+        # each doc belongs to exactly one representative, so expansion
+        # cannot duplicate a pair
+        ma = mem.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("da"))
+        mb = mem.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("db"))
+        cross = (
+            rep_pairs.join(ma, "rep_a")
+            .join(mb, "rep_b")
+            .select(
+                F.least("da", "db").alias("doc_a"),
+                F.greatest("da", "db").alias("doc_b"),
+                "est_jaccard",
+            )
+        )
+        # identical signatures agree on every slot: est_jaccard = 1.0,
+        # no band join needed; singletons never reach the self-join
+        mm = mem.filter(F.col("n_members") >= 2).select("rep", "doc_id")
+        within = (
+            mm.alias("x")
+            .join(
+                mm.alias("y"),
+                (F.col("x.rep") == F.col("y.rep"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                one,
+            )
+        )
+    else:  # star — the 10^9-doc shape: O(docs + sig-pairs) edges
+        cross = rep_pairs.select(
+            F.least("rep_a", "rep_b").alias("doc_a"),
+            F.greatest("rep_a", "rep_b").alias("doc_b"),
+            "est_jaccard",
+        )
+        within = (
+            mem.filter(F.col("doc_id") != F.col("rep"))
+            .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"), one)
+        )
+    result = cross.unionByName(within)
     # materialize the pair set (bounded by LSH collisions, tiny vs corpus),
-    # severing the result's lineage from sig_df so the cache can be freed now
+    # severing the result's lineage from mem so the cache can be freed now
     result = result.localCheckpoint(eager=True)
-    sig_df.unpersist(blocking=False)
+    mem.unpersist(blocking=False)
     return result
 
 

@@ -86,6 +86,78 @@ def test_minhash_no_spurious_collisions(docs_df):
     assert found <= {(0, 100), (1, 101)}
 
 
+def test_minhash_pairs_identical_group_no_quadratic_candidates(spark):
+    """10^4 exact-duplicate documents share one MinHash signature, which
+    puts one identical band hash in EVERY band: a document-level band join
+    would generate O(g^2 * bands) candidates. The candidate join runs over
+    DISTINCT signatures (grouped by full signature, keyed by the min-doc_id
+    representative), so the identical group never enters it; star expansion
+    emits O(docs) member->representative edges."""
+    import time
+
+    n = 10_000
+    base = (
+        "def main prints hello world and returns the spark session "
+        "builder with a config value"
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n + 2),
+            "text": [base] * n
+            + [
+                "alpha bravo charlie delta echo foxtrot golf hotel india",
+                "completely unrelated other tokens entirely different here",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    t0 = time.perf_counter()
+    star = minhash_lsh_pairs(docs, 64, 16, 0.5, expand="star").toPandas()
+    elapsed = time.perf_counter() - t0
+    # est_jaccard == 1.0 requires all 64 slots equal == identical signature,
+    # so these are exactly the within-group star edges
+    within = star[star.est_jaccard == 1.0]
+    assert len(within) == n - 1
+    assert set(within.doc_a) == {0}  # min doc_id is the representative
+    assert set(within.doc_b) == set(range(1, n))
+    # a quadratic candidate stage would emit ~8*10^8 band collisions and
+    # blow the runtime; the distinct-signature plan finishes in seconds
+    assert elapsed < 60, f"took {elapsed:.0f}s — quadratic stage suspected"
+
+
+def test_minhash_pairs_star_same_components_as_pairs(docs_df):
+    """star expansion must produce the same connected components (dedup
+    clusters) as full pair expansion, and pairs mode must emit every
+    within-group pair with est_jaccard exactly 1.0."""
+
+    def components(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[rb] = ra
+        groups: dict[int, set] = {}
+        for x in parent:
+            groups.setdefault(find(x), set()).add(x)
+        return {frozenset(g) for g in groups.values() if len(g) > 1}
+
+    pairs = minhash_lsh_pairs(docs_df, 64, 16, 0.5).toPandas()
+    star = minhash_lsh_pairs(docs_df, 64, 16, 0.5, expand="star").toPandas()
+    assert components(zip(pairs.doc_a, pairs.doc_b)) == components(
+        zip(star.doc_a, star.doc_b)
+    )
+    exact = pairs[(pairs.doc_a == 0) & (pairs.doc_b == 100)]
+    assert len(exact) == 1 and float(exact.est_jaccard.iloc[0]) == 1.0
+
+
 @pytest.mark.parametrize("hash_mode", ["sip", "md5"])
 def test_simhash_copy_identical_and_near_dup_close(docs_df, hash_mode):
     sh = (
