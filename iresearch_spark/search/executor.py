@@ -87,6 +87,63 @@ class _Prepared:
     needs_positions: bool
     consts: dict
     needed_terms: list[str]
+    # (field, leaf) specs whose UNSCORED rest is evaluated executor-side:
+    # the leaf predicate is pushed into the segment scan and the kernel
+    # unions the matching postings per segment — matched terms beyond
+    # scored_terms_limit never reach the driver (the reference's bit_union
+    # over the sampled-out rest, `multiterm_query.cpp:36-106`)
+    rest_specs: list[tuple] = dc_field(default_factory=list)
+
+
+def _like_regex(pattern: str):
+    """Spark SQL LIKE -> compiled regex (%% any seq, _ any char, backslash
+    escapes — `wildcard_utils.cpp` semantics, same as _leaf_pred's LIKE)."""
+    import re
+
+    out = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return re.compile("(?s)\\A" + "".join(out) + "\\Z")
+
+
+def _term_matches(leaf, term: str, _rx_cache: dict = {}) -> bool:
+    """Kernel-side twin of _leaf_pred for the executor-side unscored rest
+    (Prefix/Wildcard/TermRange only; Fuzzy expands driver-side — its match
+    set is bounded by the edit-distance automaton). Python str comparison
+    is code-point order == UTF-8 byte order, matching Spark's string
+    ordering for the range bounds."""
+    if isinstance(leaf, Prefix):
+        return term.startswith(leaf.prefix)
+    if isinstance(leaf, TermRange):
+        if leaf.min_term is not None:
+            if term < leaf.min_term or (
+                term == leaf.min_term and not leaf.include_min
+            ):
+                return False
+        if leaf.max_term is not None:
+            if term > leaf.max_term or (
+                term == leaf.max_term and not leaf.include_max
+            ):
+                return False
+        return True
+    if isinstance(leaf, Wildcard):
+        rx = _rx_cache.get(leaf.pattern)
+        if rx is None:
+            rx = _rx_cache[leaf.pattern] = _like_regex(leaf.pattern)
+        return rx.match(term) is not None
+    raise TypeError(leaf)  # pragma: no cover
 
 
 class SearchEngine:
@@ -563,6 +620,58 @@ class SearchEngine:
             self._stats_cache[("l", fld, leaf)] = tuple(matches[i])
         return dfs, matches
 
+    def _bounded_leaf_lookup(
+        self, bounded: list[tuple[str, Filter]]
+    ) -> dict[tuple[str, Filter], list[tuple[str, int]]]:
+        """TOP ``scored_terms_limit`` matched terms (by df desc, term asc)
+        per standalone multi-term leaf — the ONLY driver-side
+        materialization for Prefix/Wildcard/TermRange. The unscored rest is
+        never collected: its predicate is pushed into the kernel's segment
+        scan and unioned executor-side (`multiterm_query.cpp:36-106`
+        bit_union; `limited_sample_collector.hpp:45-244` keeps exactly this
+        bounded scored sample). One Spark job for all missing leaves via a
+        union of per-leaf limited aggregates."""
+        self._check_stamp()
+        out: dict[tuple[str, Filter], list[tuple[str, int]]] = {}
+        miss: list[tuple[str, Filter]] = []
+        for key in bounded:
+            hit = self._stats_cache.get(("lb",) + key)
+            if hit is None:
+                miss.append(key)
+            else:
+                out[key] = list(hit)
+        if miss:
+            seg = self._seg_filter(
+                self.spark.read.schema(SEGMENTS_SCHEMA)
+                .parquet(f"{self.index_dir}/segments")
+                .select("field", "term", "docs_count")
+            )
+            parts = []
+            for j, (fld, leaf) in enumerate(miss):
+                parts.append(
+                    seg.filter(
+                        (F.col("field") == fld) & self._leaf_pred(leaf)
+                    )
+                    .groupBy("term")
+                    .agg(F.sum("docs_count").alias("df"))
+                    .orderBy(F.desc("df"), F.asc("term"))
+                    .limit(int(leaf.scored_terms_limit))
+                    .select(F.lit(j).alias("leaf"), "term", "df")
+                )
+            from functools import reduce
+
+            got: dict[int, list[tuple[str, int]]] = {
+                j: [] for j in range(len(miss))
+            }
+            for r in reduce(DataFrame.unionAll, parts).collect():
+                got[r["leaf"]].append((r["term"], int(r["df"])))
+            for j, key in enumerate(miss):
+                lst = got[j]
+                lst.sort(key=lambda td: (-td[1], td[0]))
+                self._stats_cache[("lb",) + key] = tuple(lst)
+                out[key] = list(lst)
+        return out
+
     # ------------------------------------------------------------- prepare
     def prepare(self, f: Filter, dtype_name: str = "float32") -> _Prepared:
         dtype = np.float32 if dtype_name == "float32" else np.float64
@@ -583,16 +692,29 @@ class SearchEngine:
             return fconsts[fld]
 
         # pass 1: collect literal (field, term) pairs + multi-term leaves so
-        # that ALL dictionary lookups happen in ONE pushed-down scan
+        # that ALL dictionary lookups happen in ONE pushed-down scan.
+        # Standalone Prefix/Wildcard/TermRange leaves are BOUNDED: only the
+        # top scored_terms_limit terms are collected (the unscored rest is
+        # evaluated executor-side via rest_specs). Fuzzy (match set bounded
+        # by the edit automaton), phrase slots (need per-term positions) and
+        # granular-range tries (bounded by trie width) collect fully.
         literal_pairs: list[tuple[str, str]] = []
         leaf_list: list[tuple[str, Filter]] = []
         leaf_index: dict[tuple[str, Filter], int] = {}
+        bounded_list: list[tuple[str, Filter]] = []
+        bounded_seen: set[tuple[str, Filter]] = set()
 
         def reg_leaf(fld: str, leaf: Filter) -> None:
             key = (fld, leaf)
             if key not in leaf_index:
                 leaf_index[key] = len(leaf_list)
                 leaf_list.append(key)
+
+        def reg_bounded(fld: str, leaf: Filter) -> None:
+            key = (fld, leaf)
+            if key not in bounded_seen:
+                bounded_seen.add(key)
+                bounded_list.append(key)
 
         def collect_terms(node: Filter):
             if isinstance(node, TermF):
@@ -618,8 +740,10 @@ class SearchEngine:
                         reg_leaf(fld, el)
                     else:
                         raise TypeError(f"bad phrase element {el!r}")
-            elif isinstance(node, (Prefix, Wildcard, TermRange, Fuzzy)):
+            elif isinstance(node, Fuzzy):
                 reg_leaf(self._resolve_field(node.field_name), node)
+            elif isinstance(node, (Prefix, Wildcard, TermRange)):
+                reg_bounded(self._resolve_field(node.field_name), node)
             elif isinstance(node, GranularRangeF):
                 from iresearch_spark.search.numeric import granular_ranges
 
@@ -634,6 +758,8 @@ class SearchEngine:
 
         collect_terms(f)
         dfs, leaf_matches = self._batch_lookup(set(literal_pairs), leaf_list)
+        bounded_matches = self._bounded_leaf_lookup(bounded_list)
+        rest_specs: list[tuple[str, Filter]] = []
 
         def add_instance(
             fld: str, term: str, df: int, boost: float, scored: bool
@@ -662,17 +788,36 @@ class SearchEngine:
 
         def expand_multiterm(leaf, boost: float) -> dict:
             fld = self._resolve_field(leaf.field_name)
-            matched = list(leaf_terms(fld, leaf))
-            # scored_terms_limit: top-N by docs_count get scored, the rest
-            # become an unscored doc-set (limited_sample_collector.hpp:45-244)
-            matched.sort(key=lambda td: (-td[1], td[0]))
-            limit = leaf.scored_terms_limit
-            tids = []
-            for rank, (t, df) in enumerate(matched):
-                tids.append(add_instance(fld, t, df, boost, rank < limit))
-            if not tids:
-                return {"op": "empty"}
-            return {"op": "terms", "tids": tids, "min_match": 1}
+            if isinstance(leaf, Fuzzy):
+                # Fuzzy expands driver-side: the automaton bounds the match
+                # set, and exact Damerau post-filtering needs the strings
+                matched = list(leaf_terms(fld, leaf))
+                # scored_terms_limit: top-N by docs_count get scored, the
+                # rest become an unscored doc-set
+                # (limited_sample_collector.hpp:45-244)
+                matched.sort(key=lambda td: (-td[1], td[0]))
+                limit = leaf.scored_terms_limit
+                tids = []
+                for rank, (t, df) in enumerate(matched):
+                    tids.append(add_instance(fld, t, df, boost, rank < limit))
+                if not tids:
+                    return {"op": "empty"}
+                return {"op": "terms", "tids": tids, "min_match": 1}
+            # Prefix/Wildcard/TermRange: only the top scored_terms_limit
+            # terms (by df desc) were collected — they get scored instances;
+            # the UNSCORED REST never reaches the driver: the kernel unions
+            # its postings per segment from the pushed-predicate scan
+            # (`multiterm_query.cpp:36-106` bit_union)
+            used_fields.add(fld)
+            scored = bounded_matches[(fld, leaf)]
+            tids = [add_instance(fld, t, df, boost, True) for t, df in scored]
+            rest_specs.append((fld, leaf))
+            return {
+                "op": "terms",
+                "tids": tids,
+                "min_match": 1,
+                "rest": len(rest_specs) - 1,
+            }
 
         def compile_node(node: Filter, boost: float) -> dict:
             b = boost * node.boost
@@ -830,6 +975,7 @@ class SearchEngine:
                 "fields": sorted(used_fields),
             },
             needed_terms=needed,
+            rest_specs=rest_specs,
         )
 
     # ------------------------------------------------------------- execute
@@ -850,22 +996,25 @@ class SearchEngine:
         out_schema = f"segment_id int, doc_id int, score {score_type}"
 
         seg_df = self.segments_df(prep.needs_positions)
-        if prep.needed_terms:
+        if prep.needed_terms or prep.rest_specs:
             from functools import reduce
             from operator import or_
 
             by_field: dict[str, list[str]] = {}
             for fld, t in prep.needed_terms:
                 by_field.setdefault(fld, []).append(t)
-            seg_df = seg_df.filter(
-                reduce(
-                    or_,
-                    [
-                        (F.col("field") == fld) & F.col("term").isin(terms)
-                        for fld, terms in sorted(by_field.items())
-                    ],
-                )
-            )
+            preds = [
+                (F.col("field") == fld) & F.col("term").isin(terms)
+                for fld, terms in sorted(by_field.items())
+            ]
+            # executor-side unscored rest: push each multi-term leaf's
+            # predicate into the scan so its postings reach the kernel
+            # without a driver-side term list
+            preds += [
+                (F.col("field") == fld) & self._leaf_pred(leaf)
+                for fld, leaf in prep.rest_specs
+            ]
+            seg_df = seg_df.filter(reduce(or_, preds))
         else:
             seg_df = seg_df.filter(F.col("field") == self.field).limit(0)
         norms = self.norms_blob_df()
@@ -948,6 +1097,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
     instances = prep.instances
     consts = prep.consts
     needs_positions = prep.needs_positions
+    rest_specs = prep.rest_specs
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         dtype = np.float32 if consts["dtype"] == "float32" else np.float64
@@ -1145,6 +1295,28 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                     d, f_ = full_postings(inst_key(tid))
                     parts_d.append(d)
                     parts_s.append(inst_score(tid, d, f_))
+                rid = node.get("rest")
+                if rid is not None:
+                    # executor-side unscored rest (bit_union,
+                    # multiterm_query.cpp:36-106): every segment row
+                    # matching the leaf predicate beyond the scored
+                    # sample contributes a zero-score doc set — the term
+                    # list never left the executors
+                    fld, leaf = rest_specs[rid]
+                    skip = {
+                        instances[tid]["term"]
+                        for tid in node["tids"]
+                        if instances[tid]["field"] == fld
+                    }
+                    for key in rows_by_term:
+                        if key[0] != fld or key[1] in skip:
+                            continue
+                        if not _term_matches(leaf, key[1]):
+                            continue
+                        d, f_ = full_postings(key)
+                        if d.size:
+                            parts_d.append(d)
+                            parts_s.append(np.zeros(d.size, dtype))
                 if not parts_d:
                     return np.empty(0, np.int64), np.empty(0, dtype)
                 return merge_union(parts_d, parts_s, node["min_match"],
@@ -1430,6 +1602,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
         use_wand = (
             wand
             and tree["op"] == "terms"
+            and tree.get("rest") is None
             and tree["min_match"] == 1
             and tree.get("merge", "sum") == "sum"
             and all(instances[t]["scored"] for t in tree["tids"])

@@ -17,7 +17,7 @@ import pytest
 
 from iresearch_spark.corpus import generate_corpus
 from iresearch_spark.index import build_index
-from iresearch_spark.search import Phrase, SearchEngine, TermF
+from iresearch_spark.search import Phrase, Prefix, SearchEngine, TermF
 
 
 @pytest.fixture(scope="module")
@@ -152,6 +152,93 @@ def test_query_norms_side_is_packed_blobs_not_docmeta_scan(engine):
         for s in engine.manifest.segments
     }
     assert ndocs == man_docs
+
+
+@pytest.mark.parametrize("kind", ["prefix", "wildcard", "range"])
+def test_multiterm_unscored_rest_stays_executor_side(
+    spark, tmp_path_factory, kind
+):
+    """A broad multi-term leaf over a big dictionary must NOT collect every
+    matched term to the driver: only the top scored_terms_limit terms (by
+    df desc) become scored instances; the rest's predicate is pushed into
+    the kernel's segment scan and unioned executor-side — a 10^9-term
+    dictionary Prefix('a') stays O(scored_terms_limit) driver-side
+    (`multiterm_query.cpp:36-106` bit_union / limited_sample_collector)."""
+    from iresearch_spark.search import Wildcard, TermRange
+
+    d = str(tmp_path_factory.mktemp(f"idx_rest_{kind}"))
+    # 300 docs, each with a unique 'zz####' term (df=1 each) + one shared
+    rows = [
+        ("r", f"f{i:04d}.py", "c", "py", f"zz{i:04d} common")
+        for i in range(300)
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    from iresearch_spark.index import build_index
+
+    build_index(spark, corpus, d, num_segments=2)
+    eng = SearchEngine(spark, d)
+    leaf = {
+        "prefix": Prefix(prefix="zz", scored_terms_limit=10),
+        "wildcard": Wildcard(pattern="zz%", scored_terms_limit=10),
+        "range": TermRange(
+            min_term="zz0000", max_term="zz9999", scored_terms_limit=10
+        ),
+    }[kind]
+    prep = eng.prepare(leaf)
+    # driver materialized ONLY the scored sample, never the 300-term rest
+    assert len(prep.instances) == 10, len(prep.instances)
+    assert len(prep.rest_specs) == 1
+    cached = eng._stats_cache[("lb", "content", leaf)]
+    assert len(cached) == 10
+    hits = eng.search(leaf, k=None).collect()
+    # the executor-side rest completes the match set
+    assert len(hits) == 300
+    # df ties break by term asc: zz0000..zz0009 are the scored terms
+    scored_docs = {f"f{i:04d}.py" for i in range(10)}
+    for r in hits:
+        if r["path"] in scored_docs:
+            assert r["score"] > 0.0, r
+        else:
+            assert r["score"] == 0.0, r
+
+
+def test_multiterm_full_scoring_unchanged_when_limit_covers_matches(
+    spark, tmp_path_factory
+):
+    """With scored_terms_limit >= matched terms the bounded path must score
+    identically to a fully-expanded equivalent (Or over explicit TermFs)."""
+    from iresearch_spark.search import Or
+
+    d = str(tmp_path_factory.mktemp("idx_rest_full"))
+    rows = [
+        ("r", f"f{i}.py", "c", "py", f"zz{i} shared common text {i % 3}")
+        for i in range(20)
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string",
+    )
+    from iresearch_spark.index import build_index
+
+    build_index(spark, corpus, d, num_segments=2)
+    eng = SearchEngine(spark, d)
+    got = {
+        (r["path"], r["score"])
+        for r in eng.search(Prefix(prefix="zz"), k=None).collect()
+    }
+    want = {
+        (r["path"], r["score"])
+        for r in eng.search(
+            Or(children=tuple(TermF(term=f"zz{i}") for i in range(20))),
+            k=None,
+        ).collect()
+    }
+    assert got == want
 
 
 def test_identity_join_broadcasts_only_bounded_topk(engine):
