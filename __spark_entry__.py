@@ -323,6 +323,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_disjunction_topk_wand"] = lambda s, d: _ft_topk_wand(
         s, d, Or(children=(TermF(term="window"), TermF(term="batch"))), 10
     )
+    # WAND inside a boolean tree: top-k And(term, Or(terms)) takes the
+    # conjunction block-skip path (wand_and — lead child bounds candidates,
+    # other children decode only intersecting blocks, threshold prunes)
+    q["ft_boolean_topk_wand"] = lambda s, d: _ft_topk_wand(
+        s, d,
+        And(children=(
+            TermF(term="spark"),
+            Or(children=(TermF(term="window"), TermF(term="batch"))),
+        )),
+        10,
+    )
     q["ft_disjunction"] = lambda s, d: _ft(
         s, d, Or(children=(TermF(term="window"), TermF(term="batch")))
     )
@@ -714,6 +725,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DuckDB: ft_payload plus the three variant queries demoted at the end
     # of this function to make window room for the oracled dedup trio.
     # ------------------------------------------------------------------
+    # per-position payload stream (IndexFeatures::PAY) — promoted INTO the
+    # 50-row window (r3 verdict ask #5): a first-class §2 feature deserving
+    # a driver-hash row; placed BEFORE the rows-only block so it takes the
+    # last oracled window slot
+    q["ft_payload"] = lambda s, d: _ft_payload(s, d, "spark")
     q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(
         _emb(s, d), F.col("vec_id") < 5, 10
     )
@@ -730,14 +746,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_audio_energy"] = lambda s, d: audio_energy(
         assets_from_documents(_docs(s, d), kind="audio")
     )
-    # per-position payload stream (IndexFeatures::PAY): HAS an oracle twin
-    # (the local gate replica runs it), but sits past slot 50 so the driver's
-    # bounded window never evicts an older oracled row
-    q["ft_payload"] = lambda s, d: _ft_payload(s, d, "spark")
-    # demote three variant queries past the 50-slot window (their base
-    # operators keep in-window rows: ft_phrase, ft_bm25_legacy_norm/ft_tfidf,
-    # ft_granular_range_idx) — all three stay oracled and locally verified
-    for name in ("ft_phrase_hot", "ft_bm15", "rel_granular_range"):
+    # demote variant/duplicate queries past the 50-slot window; all stay
+    # oracled and locally verified (test_query_vs_oracle), their operators
+    # keep in-window rows: ft_phrase covers ft_phrase_hot; ft_bm25_legacy_
+    # norm/ft_tfidf cover ft_bm15; ft_granular_range_idx covers
+    # rel_granular_range; ft_proxy_cached shares ft_term_scores' exact
+    # oracle; ft_term_topk_wand reuses ft_term_topk's exact oracle
+    for name in (
+        "ft_phrase_hot",
+        "ft_bm15",
+        "rel_granular_range",
+        "ft_term_scores",
+        "ft_term_topk",
+    ):
         q[name] = q.pop(name)
     return q
 
@@ -763,6 +784,20 @@ FROM documents WHERE n_chars BETWEEN 200 AND 900
     o["ft_disjunction"] = _bm25_union_sql("term IN ('window','batch')")
     o["ft_conjunction"] = _bm25_union_sql(
         "term IN ('spark','window','customer')", min_match=3
+    )
+    # And(spark, Or(window, batch)): sum of matched-term scores over docs
+    # containing spark AND at least one of window/batch — WAND (wand_and)
+    # is exact, so the oracle is the exhaustive boolean top-k
+    o["ft_boolean_topk_wand"] = (
+        _bm25_union_sql(
+            "term IN ('spark','window','batch')",
+            extra_where=(
+                "AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark') "
+                "AND doc_id IN (SELECT doc_id FROM tf "
+                "WHERE term IN ('window','batch'))"
+            ),
+        )
+        + " ORDER BY score DESC, doc_id LIMIT 10"
     )
     o["ft_minmatch"] = _bm25_union_sql(
         "term IN ('spark','window','customer')", min_match=2

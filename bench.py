@@ -104,6 +104,7 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     qs = entry_mod.queries()
     headline = [
         "ft_term_topk", "ft_term_topk_wand", "ft_disjunction_topk_wand",
+        "ft_boolean_topk_wand",
         "ft_disjunction", "ft_conjunction", "ft_minmatch",
         "ft_phrase", "ft_phrase_hot", "ft_prefix", "ft_fuzzy",
         "ft_fuzzy_transpose", "ft_wildcard", "ft_range",

@@ -1505,13 +1505,12 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             )
 
         # -------------------------------------------------- WAND path
-        def wand_terms(node: dict) -> tuple[np.ndarray, np.ndarray]:
-            tids = [
-                t for t in node["tids"] if inst_key(t) in rows_by_term
-            ]
-            if not tids:
-                return np.empty(0, np.int64), np.empty(0, dtype)
-            # dense per-doc upper bound from blockmax only (float64, safe)
+        def dense_ub(tids):
+            """Dense per-doc SUM of block upper bounds (float64, safe) +
+            per-term block info, from the blockmax columns only — no
+            posting blob is touched. The sum bound stays a valid upper
+            bound for max/min score merges too (scores are non-negative:
+            max_t s_t <= sum_t ub_t, min over matched <= sum)."""
             ub = np.zeros(ndocs + 2, dtype=np.float64)
             blockinfo = {}
             for tid in tids:
@@ -1534,50 +1533,75 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                     np.add.at(ub, last + 1, -bub)
                     shard_infos.append((r, first, last))
                 blockinfo[tid] = shard_infos
-            ub = np.cumsum(ub)[: ndocs + 1]
+            return np.cumsum(ub)[: ndocs + 1], blockinfo
 
-            def score_subset(cand_mask: np.ndarray):
+        def score_subset(tids, blockinfo, cand_mask, merge="sum"):
+            """Exact scores over the masked docs, decoding ONLY blocks that
+            intersect the mask; per-doc combination follows ScoreMergeType
+            exactly like merge_union (sum accumulates in tid order — the
+            same float32 op order as the exhaustive path)."""
+            if merge == "sum":
                 acc = np.zeros(ndocs + 1, dtype)
-                matched = np.zeros(ndocs + 1, dtype=bool)
-                cum = np.concatenate([[0], np.cumsum(cand_mask)])
-                for tid in tids:
-                    for r, first, last in blockinfo[tid]:
-                        need = (
-                            cum[np.minimum(last + 1, ndocs + 1)] - cum[first]
-                        ) > 0
-                        bids = np.flatnonzero(need)
-                        if bids.size == 0:
-                            continue
-                        d, f_, _ = decode_blocks(
-                            r.postings,
-                            np.asarray(r.block_offsets, dtype=np.int64),
-                            np.asarray(r.last_docs, dtype=np.int64),
-                            int(r.docs_count),
-                            bids,
-                        )
-                        sel = cand_mask[d] & ~del_arr[d]
-                        d, f_ = d[sel], f_[sel]
-                        acc[d] += inst_score(tid, d, f_)
-                        matched[d] = True
-                return acc, matched
+            elif merge == "max":
+                acc = np.full(ndocs + 1, -np.inf, dtype)
+            else:
+                acc = np.full(ndocs + 1, np.inf, dtype)
+            matched = np.zeros(ndocs + 1, dtype=bool)
+            cum = np.concatenate([[0], np.cumsum(cand_mask)])
+            for tid in tids:
+                for r, first, last in blockinfo[tid]:
+                    need = (
+                        cum[np.minimum(last + 1, ndocs + 1)] - cum[first]
+                    ) > 0
+                    bids = np.flatnonzero(need)
+                    if bids.size == 0:
+                        continue
+                    d, f_, _ = decode_blocks(
+                        r.postings,
+                        np.asarray(r.block_offsets, dtype=np.int64),
+                        np.asarray(r.last_docs, dtype=np.int64),
+                        int(r.docs_count),
+                        bids,
+                    )
+                    sel = cand_mask[d] & ~del_arr[d]
+                    d, f_ = d[sel], f_[sel]
+                    s = inst_score(tid, d, f_)
+                    if merge == "sum":
+                        acc[d] += s
+                    elif merge == "max":
+                        acc[d] = np.maximum(acc[d], s)
+                    else:
+                        acc[d] = np.minimum(acc[d], s)
+                    matched[d] = True
+            return acc, matched
+
+        def wand_terms(node: dict) -> tuple[np.ndarray, np.ndarray]:
+            tids = [
+                t for t in node["tids"] if inst_key(t) in rows_by_term
+            ]
+            if not tids:
+                return np.empty(0, np.int64), np.empty(0, dtype)
+            merge = node.get("merge", "sum")
+            ub, blockinfo = dense_ub(tids)
+
+            def full_pass():
+                acc, matched = score_subset(
+                    tids, blockinfo, np.ones(ndocs + 1, dtype=bool), merge
+                )
+                docs = np.flatnonzero(matched)
+                return docs, acc[docs]
 
             # bootstrap threshold from top-C upper-bound docs
             C = max(4 * k, 256)
             if ndocs + 1 <= C:
-                cand = np.ones(ndocs + 1, dtype=bool)
-                acc, matched = score_subset(cand)
-                docs = np.flatnonzero(matched)
-                return docs, acc[docs]
+                return full_pass()
             top_ub_docs = np.argpartition(ub, -C)[-C:]
             mask1 = np.zeros(ndocs + 1, dtype=bool)
             mask1[top_ub_docs] = True
-            acc1, matched1 = score_subset(mask1)
+            acc1, matched1 = score_subset(tids, blockinfo, mask1, merge)
             cand1 = np.flatnonzero(matched1)
             if cand1.size < k:
-                cand = np.ones(ndocs + 1, dtype=bool)
-                acc, matched = score_subset(cand)
-                docs = np.flatnonzero(matched)
-                return docs, acc[docs]
+                return full_pass()
             s1 = acc1[cand1]
             theta = np.partition(s1, -k)[-k]
             mask2 = ub >= np.float64(theta)
@@ -1589,25 +1613,121 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             # full pass is strictly cheaper (the reference's wanderator has
             # the same regime: dense hot-term disjunctions skip nothing).
             if mask2.sum() > 0.25 * (ndocs + 1):
-                cand = np.ones(ndocs + 1, dtype=bool)
-                acc, matched = score_subset(cand)
-                docs = np.flatnonzero(matched)
-                return docs, acc[docs]
-            acc2, matched2 = score_subset(mask2)
-            acc = acc1 + acc2
+                return full_pass()
+            acc2, matched2 = score_subset(tids, blockinfo, mask2, merge)
+            # phase masks are disjoint: each matched doc's exact score
+            # lives in exactly one acc (works for sum AND max/min merges)
+            acc = np.where(matched1, acc1, acc2)
             matched = matched1 | matched2
             docs = np.flatnonzero(matched)
             return docs, acc[docs]
 
-        use_wand = (
+        def wand_and(node: dict) -> tuple[np.ndarray, np.ndarray]:
+            """Block-max pruning for a top-k conjunction of flat scored
+            term nodes (`And(term, Or(terms))` and friends): the cheapest
+            child (by summed docs_count) decodes exhaustively and bounds
+            the candidate set; every other child decodes ONLY blocks that
+            intersect it (the wanderator's leaf-level skip,
+            `formats_10.cpp:2426-2806`), with a bootstrap threshold over
+            s_lead + sum of the other children's block upper bounds
+            (`score.hpp:33-62` max.tail analogue) pruning candidates that
+            can never reach the top k. Exact scores accumulate per child
+            in CHILD order — the same float32 op order as the exhaustive
+            'and' — so results are bit-identical to WAND-off."""
+            children = node["children"]
+            costs = []
+            for c in children:
+                cost = 0
+                for t in c["tids"]:
+                    for r in rows_by_term.get(inst_key(t), []):
+                        cost += int(r.docs_count)
+                costs.append(cost)
+            lead = int(np.argmin(costs))
+            d_lead, s_lead = eval_node(children[lead])
+            if d_lead.size == 0:
+                return d_lead, s_lead
+            others = []
+            for j, c in enumerate(children):
+                if j == lead:
+                    continue
+                tids = [
+                    t for t in c["tids"] if inst_key(t) in rows_by_term
+                ]
+                if not tids:  # child matches nothing here -> empty conj
+                    return np.empty(0, np.int64), np.empty(0, dtype)
+                ub_j, binfo_j = dense_ub(tids)
+                others.append((j, tids, binfo_j, ub_j, c.get("merge", "sum")))
+
+            def exact_on(docs_sub: np.ndarray):
+                """Conjunction-exact (docs, scores) restricted to the given
+                candidate docs (subset of d_lead)."""
+                mask = np.zeros(ndocs + 1, dtype=bool)
+                mask[docs_sub] = True
+                accs: dict[int, np.ndarray] = {}
+                alive = docs_sub
+                for j, tids, binfo, _ub, merge in others:
+                    acc_j, matched_j = score_subset(tids, binfo, mask, merge)
+                    accs[j] = acc_j
+                    alive = alive[matched_j[alive]]
+                if alive.size == 0:
+                    return alive, np.empty(0, dtype)
+                scores = np.zeros(alive.size, dtype)
+                for j in range(len(children)):  # child order = float order
+                    if j == lead:
+                        scores += s_lead[np.searchsorted(d_lead, alive)]
+                    else:
+                        scores += accs[j][alive]
+                return alive, scores
+
+            C = max(4 * k, 256)
+            if d_lead.size <= C:
+                return exact_on(d_lead)
+            ub_total = s_lead.astype(np.float64)
+            for _j, _tids, _binfo, ub_j, _m in others:
+                ub_total = ub_total + ub_j[d_lead]
+            top_idx = np.argpartition(ub_total, -C)[-C:]
+            docs1 = np.sort(d_lead[top_idx])
+            a_docs1, a_scores1 = exact_on(docs1)
+            if a_docs1.size < k:
+                return exact_on(d_lead)
+            theta = np.partition(a_scores1, -k)[-k]
+            in_phase1 = np.zeros(ndocs + 1, dtype=bool)
+            in_phase1[docs1] = True
+            surv = d_lead[
+                (ub_total >= np.float64(theta)) & ~in_phase1[d_lead]
+            ]
+            if surv.size > 0.25 * d_lead.size:  # dense-survivor guard
+                return exact_on(d_lead)
+            a_docs2, a_scores2 = exact_on(surv)
+            docs = np.concatenate([a_docs1, a_docs2])
+            scores = np.concatenate([a_scores1, a_scores2])
+            order_ = np.argsort(docs, kind="stable")
+            return docs[order_], scores[order_]
+
+        def wandable_terms(n: dict) -> bool:
+            return (
+                n["op"] == "terms"
+                and n.get("rest") is None
+                and n["min_match"] == 1
+                and n.get("merge", "sum") in ("sum", "max", "min")
+                and bool(n["tids"])
+                and all(instances[t]["scored"] for t in n["tids"])
+            )
+
+        use_wand = wand and wandable_terms(tree)
+        use_wand_and = (
             wand
-            and tree["op"] == "terms"
-            and tree.get("rest") is None
-            and tree["min_match"] == 1
-            and tree.get("merge", "sum") == "sum"
-            and all(instances[t]["scored"] for t in tree["tids"])
+            and tree["op"] == "and"
+            and not tree.get("excludes")
+            and len(tree["children"]) >= 2
+            and all(wandable_terms(c) for c in tree["children"])
         )
-        docs, scores = wand_terms(tree) if use_wand else eval_node(tree)
+        if use_wand:
+            docs, scores = wand_terms(tree)
+        elif use_wand_and:
+            docs, scores = wand_and(tree)
+        else:
+            docs, scores = eval_node(tree)
         if docs.size == 0:
             return empty
         order = np.lexsort((docs, -scores))

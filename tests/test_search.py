@@ -131,6 +131,25 @@ def test_rank_identity(engine, oracle, name, query, k):
         (Or(children=(TermF(term="import"), TermF(term="sym_9"),
                       TermF(term="sym_500"))), 25),
         (Or(children=(TermF(term="void"), TermF(term="uniq_5_a"))), 10),
+        # non-sum merges now take the WAND path too (sum-of-bounds stays a
+        # safe upper bound for max/min)
+        (Or(children=(TermF(term="import"), TermF(term="void")),
+            merge_type="max"), 10),
+        (Or(children=(TermF(term="import"), TermF(term="void")),
+            merge_type="min"), 10),
+        # boolean trees: And of flat term nodes uses block-skip + threshold
+        # pruning (wand_and) and must stay bit-identical to exhaustive
+        (And(children=(TermF(term="import"),
+                       Or(children=(TermF(term="void"),
+                                    TermF(term="sym_9"))))), 10),
+        (And(children=(TermF(term="import"), TermF(term="void"),
+                       TermF(term="sym_2"))), 5),
+        # min_match > 1 child: wand_and must NOT apply (falls back)
+        (And(children=(TermF(term="import"),
+                       TermsF(terms=("sym_2", "sym_3"), min_match=2))), 10),
+        # excludes: falls back to exhaustive
+        (And(children=(TermF(term="import"),
+                       Not(child=TermF(term="void")))), 10),
     ],
 )
 def test_wand_equals_exhaustive(engine, query, k):
