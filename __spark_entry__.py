@@ -25,14 +25,21 @@ from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- fulltext
 
+# built-index directories keyed by source sf dir: strings only (the indexes
+# live under tempdir on disk); bounded by the handful of distinct sf dirs a
+# process ever sees, so no LRU needed here
 _INDEX_CACHE: dict[str, str] = {}
 
 # long-lived readers: the reference keeps an open IndexReader (term dict in
 # memory) across queries; the engine analogue holds the manifest + term-stats
-# cache, so repeated queries skip re-reading the manifest and re-running
-# dictionary jobs. Keyed by index dir; stamp checks inside the engine keep
-# it correct across new publishes (deletes/merges/commits).
-_ENGINE_CACHE: dict = {}
+# cache + packed-norms cache, so repeated queries skip re-reading the
+# manifest and re-running dictionary jobs. Keyed by index dir; stamp checks
+# inside the engine keep it correct across new publishes (deletes/merges/
+# commits). Bounded LRU: eviction close()s the engine, unpersisting its
+# proxy/norms DataFrames so a long-lived service can't pin executor storage.
+from iresearch_spark.util import LRUCache as _LRUCache
+
+_ENGINE_CACHE = _LRUCache(16, on_evict=lambda _k, eng: eng.close())
 
 
 def _cached_engine(spark, idx: str, **kw):

@@ -162,6 +162,8 @@ class SearchEngine:
         Tombstones are NOT versioned: the document mask is always the
         current deletes table (documented deviation — the reference
         versions masks per segment meta)."""
+        from iresearch_spark.util import LRUCache
+
         self.spark = spark
         self.index_dir = index_dir
         self.scorer = scorer or BM25()
@@ -170,11 +172,17 @@ class SearchEngine:
         # Snapshot semantics: entries bake in the document mask at
         # materialization time; a new manifest publish (delete/merge/commit)
         # invalidates the cache via the stamp check in _search_proxy.
-        self._proxy_cache: dict[tuple, DataFrame] = {}
+        # Bounded LRU: eviction unpersists the cached match set, so a
+        # long-lived reader can't pin unbounded executor storage.
+        self._proxy_cache = LRUCache(
+            64, on_evict=lambda _k, df: df.unpersist()
+        )
         self.proxy_hits = 0
         # term-stats cache: ("t", field, term) -> df and
-        # ("l", field, leaf) -> [(term, df)] — see _batch_lookup
-        self._stats_cache: dict[tuple, object] = {}
+        # ("l"/"lb", field, leaf) -> [(term, df)] — see _batch_lookup.
+        # Bounded LRU (was: crude clear-at-100k) — the reference's analogue
+        # is the per-reader term dictionary cache, likewise bounded.
+        self._stats_cache = LRUCache(65536)
         # per-segment packed norms (see norms_blob_df): built once per
         # manifest publish, persisted; invalidated by the stamp check
         self._norms_blob: DataFrame | None = None
@@ -550,8 +558,6 @@ class SearchEngine:
         # until a merge purges), so validity is the manifest stamp, shared
         # with the proxy cache via _check_stamp.
         self._check_stamp()
-        if len(self._stats_cache) > 100_000:  # crude bound; real LRU at scale
-            self._stats_cache.clear()
         dfs: dict[tuple[str, str], int] = {}
         matches: list[list[tuple[str, int]]] = [[] for _ in leaves]
         miss_pairs: set[tuple[str, str]] = set()
@@ -1084,9 +1090,17 @@ class SearchEngine:
         return self._finalize(out, k, with_identity)
 
     def clear_proxy_cache(self) -> None:
-        for df in self._proxy_cache.values():
-            df.unpersist()
-        self._proxy_cache.clear()
+        self._proxy_cache.clear()  # LRU on_evict unpersists each entry
+
+    def close(self) -> None:
+        """Release every cluster-side resource this reader holds: persisted
+        proxy match sets, the term-stats cache, and the packed-norms cache.
+        Idempotent — a closed engine re-materializes lazily if reused."""
+        self.clear_proxy_cache()
+        self._stats_cache.clear()
+        if self._norms_blob is not None:
+            self._norms_blob.unpersist()
+            self._norms_blob = None
 
 
 # ----------------------------------------------------------------- kernel
