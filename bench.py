@@ -306,17 +306,100 @@ def run_scaling_query(n_small: int) -> dict:
     }
 
 
+def run_wand_regimes(cpus: int) -> dict:
+    """Regression-track the WAND regimes (r3 verdict ask #7): per regime,
+    the exhaustive-vs-WAND wall-clock pair (best-of-N warm) plus the
+    kernel's own block accounting (mode + skipped-block ratio from
+    SearchEngine.wand_stats). Two deterministic fixtures:
+
+    - ``dense``  — uniform docs: identical scores put every doc's upper
+      bound at the k-th threshold, so the dense-survivor guard must fire
+      (mode full_dense) and cap WAND's worst case near the documented
+      ~1.1x of exhaustive.
+    - ``clustered`` — high-scoring docs packed into the head blocks (doc
+      ids follow path order): the bootstrap threshold prunes the tail
+      (mode pruned) and WAND should skip most blocks.
+    """
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.search import Or, SearchEngine, TermF
+    from iresearch_spark.session import get_spark
+
+    spark = get_spark("iresearch_wand_regimes", cores=cpus)
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    n = int(os.environ.get("SPARK_GRAFT_WAND_DOCS", "50000"))
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+
+    filler = " ".join(f"w{j}" for j in range(60))
+    fixtures = {
+        "dense": [
+            ("r", f"{i:06d}.py", "c", "py", "alpha beta gamma delta")
+            for i in range(n)
+        ],
+        "clustered": [
+            (
+                "r",
+                f"{i:06d}.py",
+                "c",
+                "py",
+                "needle needle needle needle needle end"
+                if i < n // 20
+                else f"needle {filler}",
+            )
+            for i in range(n)
+        ],
+    }
+    queries = {
+        "dense": Or(children=(TermF(term="alpha"), TermF(term="beta"))),
+        "clustered": TermF(term="needle"),
+    }
+    out: dict = {"metric": "wand_regimes", "docs": n, "cpus": cpus}
+    for name, rows in fixtures.items():
+        d = _fresh_dir(f"wand_{name}")
+        build_index(
+            spark, spark.createDataFrame(rows, schema), d, num_segments=4
+        )
+        eng = SearchEngine(spark, d)
+        q = queries[name]
+        wand_sec = _time_best(
+            lambda: eng.search(q, k=10, wand=True).collect(), trials
+        )
+        exh_sec = _time_best(
+            lambda: eng.search(q, k=10, wand=False).collect(), trials
+        )
+        st = eng.wand_stats(q, k=10).toPandas()
+        bt = int(st["blocks_total"].sum())
+        bd = int(st["blocks_decoded"].sum())
+        out[name] = {
+            "wand_sec": wand_sec,
+            "exhaustive_sec": exh_sec,
+            "wand_over_exhaustive": round(wand_sec / exh_sec, 3),
+            "modes": sorted(st["mode"].unique().tolist()),
+            "blocks_total": bt,
+            "blocks_decoded": bd,
+            "skipped_block_ratio": round(1 - bd / bt, 4) if bt else None,
+        }
+        eng.close()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
                     help="run the N vs 4N scaling-efficiency experiment")
     ap.add_argument("--scaling-query", action="store_true",
                     help="run the query-side N vs 4N experiment")
+    ap.add_argument("--wand-regimes", action="store_true",
+                    help="record exhaustive-vs-WAND pairs + block skips")
     ap.add_argument("--n", type=int, default=8,
                     help="small cluster size N for --scaling (large = 4N)")
     args = ap.parse_args()
 
-    if args.scaling_query:
+    if args.wand_regimes:
+        out = run_wand_regimes(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    elif args.scaling_query:
         out = run_scaling_query(args.n)
     elif args.scaling:
         out = run_scaling(args.n)

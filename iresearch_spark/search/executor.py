@@ -1032,6 +1032,53 @@ class SearchEngine:
         )
         return self._finalize(local_topk, k, with_identity)
 
+    def wand_stats(
+        self, f: Filter, k: int = 10, dtype: str = "float32"
+    ) -> DataFrame:
+        """Diagnostic: per-segment WAND regime + block-decode accounting
+        for a top-k query — (segment_id, mode, blocks_total,
+        blocks_decoded). ``mode`` records which branch the kernel took
+        (pruned / full_dense dense-survivor fallback / full_small /
+        full_lowmatch, and their and_* conjunction twins; 'exhaustive'
+        means the tree wasn't WAND-eligible). blocks_total counts the
+        skippable blocks registered by dense_ub (for conjunctions: the
+        non-lead children — the lead child decodes whole postings by
+        design). The skipped-block ratio 1 - decoded/total is the
+        regression-tracked signal behind the ~1.1x dense-corpus worst-case
+        guard (bench.py --wand-regimes)."""
+        prep = self.prepare(f, dtype)
+        kernel = _make_kernel(prep, k, True, stats=True)
+        seg_df = self.segments_df(prep.needs_positions)
+        if prep.needed_terms or prep.rest_specs:
+            from functools import reduce
+            from operator import or_
+
+            by_field: dict[str, list[str]] = {}
+            for fld, t in prep.needed_terms:
+                by_field.setdefault(fld, []).append(t)
+            preds = [
+                (F.col("field") == fld) & F.col("term").isin(terms)
+                for fld, terms in sorted(by_field.items())
+            ]
+            preds += [
+                (F.col("field") == fld) & self._leaf_pred(leaf)
+                for fld, leaf in prep.rest_specs
+            ]
+            seg_df = seg_df.filter(reduce(or_, preds))
+        else:
+            seg_df = seg_df.filter(F.col("field") == self.field).limit(0)
+        return (
+            seg_df.groupby("segment_id")
+            .cogroup(self.norms_blob_df().groupby("segment_id"))
+            .applyInPandas(
+                kernel,
+                schema=(
+                    "segment_id int, mode string, "
+                    "blocks_total long, blocks_decoded long"
+                ),
+            )
+        )
+
     def _finalize(
         self, local_topk: DataFrame, k: int | None, with_identity: bool
     ) -> DataFrame:
@@ -1106,7 +1153,7 @@ class SearchEngine:
 # ----------------------------------------------------------------- kernel
 
 
-def _make_kernel(prep: _Prepared, k: int, wand: bool):
+def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
     tree = prep.tree
     instances = prep.instances
     consts = prep.consts
@@ -1126,6 +1173,15 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             }
         )
         if right.empty:
+            if stats:
+                return pd.DataFrame(
+                    {
+                        "segment_id": pd.Series([], dtype="int32"),
+                        "mode": pd.Series([], dtype=object),
+                        "blocks_total": pd.Series([], dtype="int64"),
+                        "blocks_decoded": pd.Series([], dtype="int64"),
+                    }
+                )
             return empty
         # right = ONE packed-norms row for this segment (norms_blob_df):
         # dense int32 dl blob per field (index = doc_id - 1) + tombstones
@@ -1519,6 +1575,11 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             )
 
         # -------------------------------------------------- WAND path
+        # diagnostic accounting (wand_stats): which regime the kernel took
+        # and how many posting blocks it decoded vs the total available —
+        # the skipped-block ratio is the regression-tracked WAND signal
+        diag = {"mode": "exhaustive", "blocks_total": 0, "blocks_decoded": 0}
+
         def dense_ub(tids):
             """Dense per-doc SUM of block upper bounds (float64, safe) +
             per-term block info, from the blockmax columns only — no
@@ -1546,6 +1607,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                     np.add.at(ub, first, bub)
                     np.add.at(ub, last + 1, -bub)
                     shard_infos.append((r, first, last))
+                    diag["blocks_total"] += int(last.size)
                 blockinfo[tid] = shard_infos
             return np.cumsum(ub)[: ndocs + 1], blockinfo
 
@@ -1570,6 +1632,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                     bids = np.flatnonzero(need)
                     if bids.size == 0:
                         continue
+                    diag["blocks_decoded"] += int(bids.size)
                     d, f_, _ = decode_blocks(
                         r.postings,
                         np.asarray(r.block_offsets, dtype=np.int64),
@@ -1598,7 +1661,8 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             merge = node.get("merge", "sum")
             ub, blockinfo = dense_ub(tids)
 
-            def full_pass():
+            def full_pass(mode: str):
+                diag["mode"] = mode
                 acc, matched = score_subset(
                     tids, blockinfo, np.ones(ndocs + 1, dtype=bool), merge
                 )
@@ -1608,14 +1672,14 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             # bootstrap threshold from top-C upper-bound docs
             C = max(4 * k, 256)
             if ndocs + 1 <= C:
-                return full_pass()
+                return full_pass("full_small")
             top_ub_docs = np.argpartition(ub, -C)[-C:]
             mask1 = np.zeros(ndocs + 1, dtype=bool)
             mask1[top_ub_docs] = True
             acc1, matched1 = score_subset(tids, blockinfo, mask1, merge)
             cand1 = np.flatnonzero(matched1)
             if cand1.size < k:
-                return full_pass()
+                return full_pass("full_lowmatch")
             s1 = acc1[cand1]
             theta = np.partition(s1, -k)[-k]
             mask2 = ub >= np.float64(theta)
@@ -1627,7 +1691,8 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             # full pass is strictly cheaper (the reference's wanderator has
             # the same regime: dense hot-term disjunctions skip nothing).
             if mask2.sum() > 0.25 * (ndocs + 1):
-                return full_pass()
+                return full_pass("full_dense")
+            diag["mode"] = "pruned"
             acc2, matched2 = score_subset(tids, blockinfo, mask2, merge)
             # phase masks are disjoint: each matched doc's exact score
             # lives in exactly one acc (works for sum AND max/min merges)
@@ -1695,6 +1760,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
 
             C = max(4 * k, 256)
             if d_lead.size <= C:
+                diag["mode"] = "and_full_small"
                 return exact_on(d_lead)
             ub_total = s_lead.astype(np.float64)
             for _j, _tids, _binfo, ub_j, _m in others:
@@ -1703,6 +1769,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             docs1 = np.sort(d_lead[top_idx])
             a_docs1, a_scores1 = exact_on(docs1)
             if a_docs1.size < k:
+                diag["mode"] = "and_full_lowmatch"
                 return exact_on(d_lead)
             theta = np.partition(a_scores1, -k)[-k]
             in_phase1 = np.zeros(ndocs + 1, dtype=bool)
@@ -1711,7 +1778,9 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
                 (ub_total >= np.float64(theta)) & ~in_phase1[d_lead]
             ]
             if surv.size > 0.25 * d_lead.size:  # dense-survivor guard
+                diag["mode"] = "and_full_dense"
                 return exact_on(d_lead)
+            diag["mode"] = "and_pruned"
             a_docs2, a_scores2 = exact_on(surv)
             docs = np.concatenate([a_docs1, a_docs2])
             scores = np.concatenate([a_scores1, a_scores2])
@@ -1742,6 +1811,19 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool):
             docs, scores = wand_and(tree)
         else:
             docs, scores = eval_node(tree)
+        if stats:
+            return pd.DataFrame(
+                {
+                    "segment_id": pd.Series([segment_id], dtype="int32"),
+                    "mode": pd.Series([diag["mode"]], dtype=object),
+                    "blocks_total": pd.Series(
+                        [diag["blocks_total"]], dtype="int64"
+                    ),
+                    "blocks_decoded": pd.Series(
+                        [diag["blocks_decoded"]], dtype="int64"
+                    ),
+                }
+            )
         if docs.size == 0:
             return empty
         order = np.lexsort((docs, -scores))

@@ -1,0 +1,95 @@
+"""WAND regime accounting (r3 verdict ask #7): the ~1.1x dense-corpus
+worst-case guard was measured once and recorded in prose; wand_stats makes
+the regime + skipped-block ratio a queryable signal so bench.py
+--wand-regimes can regression-track it.
+
+Two fixtures pin the two regimes deterministically:
+- UNIFORM: identical docs -> identical scores -> the k-th threshold sits at
+  every doc's upper bound -> the dense-survivor guard must fire (full_dense)
+  and cap the overhead at one bootstrap + one full pass.
+- CLUSTERED: high-scoring docs packed into the first blocks (doc ids follow
+  path order) -> the threshold from the bootstrap prunes every low block ->
+  mode 'pruned' with most blocks skipped.
+"""
+
+import pytest
+
+from iresearch_spark.index import build_index
+from iresearch_spark.search import Or, SearchEngine, TermF
+
+SCHEMA = (
+    "repo string, path string, commit string, lang string, content string"
+)
+
+
+@pytest.fixture(scope="module")
+def uniform_engine(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_wand_uniform"))
+    rows = [
+        ("r", f"{i:05d}.py", "c", "py", "alpha beta gamma delta")
+        for i in range(2000)
+    ]
+    build_index(
+        spark, spark.createDataFrame(rows, SCHEMA), d, num_segments=1
+    )
+    return SearchEngine(spark, d)
+
+
+@pytest.fixture(scope="module")
+def clustered_engine(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_wand_clustered"))
+    filler = " ".join(f"w{j}" for j in range(60))
+    rows = []
+    for i in range(2000):
+        # doc ids follow (repo, path, commit) order, so low paths land in
+        # the first posting blocks: 300 high-tf/short docs, then long tail
+        text = (
+            "needle needle needle needle needle end"
+            if i < 300
+            else f"needle {filler}"
+        )
+        rows.append(("r", f"{i:05d}.py", "c", "py", text))
+    build_index(
+        spark, spark.createDataFrame(rows, SCHEMA), d, num_segments=1
+    )
+    return SearchEngine(spark, d)
+
+
+def test_dense_survivor_fallback_fires_on_uniform_corpus(uniform_engine):
+    q = Or(children=(TermF(term="alpha"), TermF(term="beta")))
+    st = uniform_engine.wand_stats(q, k=10).collect()
+    assert len(st) == 1
+    row = st[0]
+    assert row["mode"] == "full_dense", row
+    # the guard's cost cap: bootstrap pass + one full pass, never more
+    # than ~2x the block count (the documented ~1.1x wall-clock worst case)
+    assert row["blocks_decoded"] <= 2 * row["blocks_total"], row
+    # exactness under the fallback
+    w = uniform_engine.search(q, k=10, wand=True).collect()
+    e = uniform_engine.search(q, k=10, wand=False).collect()
+    assert [tuple(r) for r in w] == [tuple(r) for r in e]
+
+
+def test_pruned_regime_skips_blocks_on_clustered_corpus(clustered_engine):
+    q = TermF(term="needle")
+    st = clustered_engine.wand_stats(q, k=10).collect()
+    assert len(st) == 1
+    row = st[0]
+    assert row["mode"] == "pruned", row
+    # 2000 docs / 128-doc blocks = 16 blocks; the bootstrap touches the
+    # high-ub head blocks and the threshold prunes the long tail
+    assert row["blocks_total"] >= 14
+    skipped = 1 - row["blocks_decoded"] / row["blocks_total"]
+    assert skipped >= 0.5, dict(row.asDict())
+    # pruning must not change results
+    w = clustered_engine.search(q, k=10, wand=True).collect()
+    e = clustered_engine.search(q, k=10, wand=False).collect()
+    assert [tuple(r) for r in w] == [tuple(r) for r in e]
+
+
+def test_exhaustive_mode_reported_for_non_wandable_tree(uniform_engine):
+    from iresearch_spark.search import Not, And
+
+    q = And(children=(TermF(term="alpha"), Not(child=TermF(term="beta"))))
+    st = uniform_engine.wand_stats(q, k=10).collect()
+    assert st and all(r["mode"] == "exhaustive" for r in st)
