@@ -753,6 +753,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["mm_audio_energy"] = lambda s, d: audio_energy(
         assets_from_documents(_docs(s, d), kind="audio")
     )
+
+    # stored-field (columnstore) read path: resolve matched docs to pruned
+    # stored columns — identity-resident cols from docmeta, n_chars from
+    # the source table (columnstore2.hpp:38-63 analogue). Oracled, past
+    # the pinned 50-slot window; verified by the local gate replica.
+    def ft_stored_fields(s, d):
+        eng = _engine(s, d)
+        hits = eng.search(TermF(term="spark"), k=None, with_identity=False)
+        out = eng.stored_fields(
+            hits,
+            ["path", "lang", "n_chars"],
+            source=_corpus_from_documents(_docs(s, d)),
+        )
+        return out.select(
+            F.col("path").cast("int").alias("doc_id"), "lang", "n_chars"
+        )
+
+    q["ft_stored_fields"] = ft_stored_fields
     # demote variant/duplicate queries past the 50-slot window; all stay
     # oracled and locally verified (test_query_vs_oracle), their operators
     # keep in-window rows: ft_phrase covers ft_phrase_hot; ft_bm25_legacy_
@@ -1542,6 +1560,17 @@ agree AS (
 )
 SELECT doc_a, doc_b, round(n_agree / 64.0, 4) AS est_jaccard
 FROM agree WHERE n_agree / 64.0 >= 0.05
+"""
+
+    o["ft_stored_fields"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'spark')
 """
 
     # ann_lsh_topk / ann_ivf_topk / mm_* featurizers: approximate/stub-codec

@@ -389,6 +389,48 @@ class SearchEngine:
             )
         )
 
+    # columns resident in the docmeta table (stored at index time)
+    DOCMETA_STORED = ("repo", "path", "commit", "lang", "content_sha256")
+
+    def stored_fields(
+        self,
+        hits: DataFrame,
+        cols: list[str],
+        source: DataFrame | None = None,
+        key: tuple[str, ...] = ("repo", "path", "commit"),
+    ) -> DataFrame:
+        """Columnstore-style stored-field read (`columnstore2.hpp:38-63`
+        analogue): resolve matched (segment_id, doc_id) rows — e.g.
+        ``search(..., with_identity=False)`` output — to the requested
+        stored columns with COLUMN PRUNING. The source table IS the
+        columnstore: parquet column chunks play the reference's per-column
+        blocks, and the pruned ReadSchema is the analogue of opening only
+        the requested columns' streams. Identity-resident columns
+        (repo/path/commit/lang/content_sha256) are served straight from
+        docmeta; any other column joins ``source`` on the identity ``key``
+        (AQE broadcasts whichever side is bounded — a top-k hits side is).
+
+        Returns (segment_id, doc_id, *cols) plus any hit columns (score)."""
+        cols = list(cols)
+        extra = [c for c in cols if c not in self.DOCMETA_STORED]
+        ident = [c for c in cols if c not in extra]
+        need_key = list(key) if extra else []
+        dm = self.docmeta_df().select(
+            "segment_id", "doc_id", *dict.fromkeys(ident + need_key)
+        )
+        out = dm.join(hits, ["segment_id", "doc_id"])
+        if extra:
+            if source is None:
+                raise ValueError(
+                    f"columns {extra} are not stored in docmeta; pass the "
+                    "source table via source="
+                )
+            out = out.join(source.select(*key, *extra), list(key))
+        hit_extras = [
+            c for c in hits.columns if c not in ("segment_id", "doc_id")
+        ]
+        return out.select("segment_id", "doc_id", *cols, *hit_extras)
+
     def term_payloads(self, term: str, field_name: str = "content") -> DataFrame:
         """Per-position payload read (IndexFeatures::PAY): one row per
         occurrence of ``term`` with the payload bytes the analyzer attached

@@ -241,6 +241,58 @@ def test_multiterm_full_scoring_unchanged_when_limit_covers_matches(
     assert got == want
 
 
+def test_stored_fields_reads_pruned_columns(engine, spark, tmp_path_factory):
+    """stored_fields is the columnstore read path (`columnstore2.hpp:38-63`
+    analogue): identity-resident columns come from docmeta; other columns
+    join the SOURCE table with column pruning — the source parquet scan
+    must read ONLY the key + requested columns, never `content` (a 100 TB
+    text column)."""
+    from pyspark.sql import functions as F
+
+    src_dir = str(tmp_path_factory.mktemp("sf_src") / "src.parquet")
+    from iresearch_spark.corpus import generate_corpus
+
+    generate_corpus(spark, 120, 2).withColumn(
+        "n_bytes", F.length("content")
+    ).write.parquet(src_dir)
+    src = spark.read.parquet(src_dir)
+
+    hits = engine.search(TermF(term="import"), k=5, with_identity=False)
+    out = engine.stored_fields(hits, ["lang", "n_bytes"], source=src)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert set(out.columns) == {
+        "segment_id", "doc_id", "lang", "n_bytes", "score"
+    }
+    # values match a manual identity resolution
+    manual = {
+        (r["segment_id"], r["doc_id"]): (r["lang"],)
+        for r in engine.search(TermF(term="import"), k=5).collect()
+    }
+    for r in rows:
+        assert manual[(r["segment_id"], r["doc_id"])][0] == r["lang"]
+        assert r["n_bytes"] > 0
+    # column pruning: the source scan must not read `content`
+    plan = _formatted(out)
+    src_reads = [
+        line
+        for line in plan.splitlines()
+        if "ReadSchema" in line and "n_bytes" in line
+    ]
+    assert src_reads and all("content" not in line for line in src_reads), (
+        plan
+    )
+    # identity-only requests never touch the source table at all
+    ident_only = engine.stored_fields(hits, ["lang", "repo"])
+    assert ident_only.count() == 5
+
+
+def test_stored_fields_requires_source_for_non_docmeta_columns(engine):
+    hits = engine.search(TermF(term="import"), k=3, with_identity=False)
+    with pytest.raises(ValueError, match="source"):
+        engine.stored_fields(hits, ["n_bytes"])
+
+
 def test_identity_join_broadcasts_only_bounded_topk(engine):
     bounded = _optimized(engine.search(TermF(term="import"), k=5))
     unbounded = _optimized(engine.search(TermF(term="import"), k=None))
