@@ -196,6 +196,28 @@ def _engine_pay(spark: SparkSession, sf_dir: str):
     return _cached_engine(spark, _INDEX_CACHE[key])
 
 
+def _engine_offs(spark: SparkSession, sf_dir: str):
+    """Engine over a ``code_offsets`` index: per-position payloads carry the
+    token's original-text char span (stored OFFS on the PAY stream)."""
+    from iresearch_spark.index.build import build_index
+
+    key = os.path.abspath(sf_dir) + "#offs"
+    if key not in _INDEX_CACHE:
+        idx = os.path.join(
+            tempfile.gettempdir(),
+            "iresearch_idx_offs_" + os.path.abspath(sf_dir).replace("/", "_"),
+        )
+        build_index(
+            spark,
+            _corpus_from_documents(_docs(spark, sf_dir)),
+            idx,
+            num_segments=4,
+            analyzer="code_offsets",
+        )
+        _INDEX_CACHE[key] = idx
+    return _cached_engine(spark, _INDEX_CACHE[key])
+
+
 def _ft_payload(spark: SparkSession, sf_dir: str, term: str) -> DataFrame:
     """One row per occurrence of ``term``: (doc_id, pos, payload) where the
     payload is the original-case surface form stored in the pay stream."""
@@ -771,6 +793,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ft_stored_fields"] = ft_stored_fields
+
+    # stored OFFS (token_attributes.hpp:37-47): per-occurrence original-text
+    # char spans read back from the pay stream and unpacked JVM-side.
+    # Oracled (regexp split/extract cumulative-length reconstruction), past
+    # the pinned 50-slot window; verified by the local gate replica.
+    def ft_stored_offsets(s, d):
+        eng = _engine_offs(s, d)
+        res = eng.term_offsets("spark")
+        return res.select(
+            F.col("path").cast("int").alias("doc_id"),
+            "pos", "start_off", "end_off",
+        )
+
+    q["ft_stored_offsets"] = ft_stored_offsets
     # demote variant/duplicate queries past the 50-slot window; all stay
     # oracled and locally verified (test_query_vs_oracle), their operators
     # keep in-window rows: ft_phrase covers ft_phrase_hot; ft_bm25_legacy_
@@ -1571,6 +1607,39 @@ WITH tok AS (
 SELECT d.doc_id, d.lang, d.n_chars
 FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM tok WHERE term = 'spark')
+"""
+
+    # stored OFFS twin: DuckDB has no regexp match-position API, but spans
+    # are reconstructible exactly — regexp_split_to_array with the SAME
+    # pattern yields the n+1 inter-token gaps, so token i's start is
+    # cumsum(len(gap_1..i)) + cumsum(len(tok_1..i-1)); both engines count
+    # characters, and RE2/Python-re agree on leftmost-first alternation.
+    _TOK_CI = "[A-Za-z_][A-Za-z0-9_]*|[0-9]+"
+    o["ft_stored_offsets"] = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{_TOK_CI}') AS tl,
+         regexp_split_to_array(text, '{_TOK_CI}') AS gl
+  FROM documents WHERE text IS NOT NULL
+),
+u AS (
+  SELECT doc_id, unnest(tl) AS tok,
+         CAST(generate_subscripts(tl, 1) AS INTEGER) AS i, gl
+  FROM t
+),
+c AS (
+  SELECT doc_id, tok, i,
+         CAST(sum(length(gl[i])) OVER w
+              + coalesce(sum(length(tok)) OVER wp, 0) AS INTEGER)
+           AS start_off
+  FROM u
+  WINDOW w  AS (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING),
+         wp AS (PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT doc_id, i - 1 AS pos, start_off,
+       start_off + CAST(length(tok) AS INTEGER) AS end_off
+FROM c WHERE lower(tok) = 'spark'
 """
 
     # ann_lsh_topk / ann_ivf_topk / mm_* featurizers: approximate/stub-codec

@@ -422,9 +422,35 @@ def delimited_payload_analyzer(
     return both.map(lambda x: x[0]), both.map(lambda x: x[1])
 
 
+def code_offsets_analyzer(s: pd.Series) -> tuple[pd.Series, pd.Series]:
+    """Stored OFFS attribute (`core/analysis/token_attributes.hpp:37-47`
+    offset{start,end}) carried on the PAY stream: each code token's payload
+    is its ORIGINAL-text character span packed as two big-endian uint32s —
+    the same 8-byte shape the reference serializes per position into the
+    .pay/.offs streams (`formats_10.cpp:3618-3634`). One finditer pass
+    produces both streams, so token/payload alignment is exact by
+    construction; `SearchEngine.term_offsets` unpacks the pair JVM-side."""
+    import re
+    import struct
+
+    pat = re.compile(CODE_TOKEN_PATTERN_CI)
+
+    def run(text: str) -> tuple[list[str], list[bytes]]:
+        toks: list[str] = []
+        pays: list[bytes] = []
+        for m in pat.finditer(text):
+            toks.append(m.group().lower())
+            pays.append(struct.pack(">II", m.start(), m.end()))
+        return toks, pays
+
+    both = s.fillna("").map(run)
+    return both.map(lambda x: x[0]), both.map(lambda x: x[1])
+
+
 PAYLOAD_ANALYZERS: dict[str, Callable] = {
     "code_payload": code_payload_original_analyzer,
     "delimited_payload": delimited_payload_analyzer,
+    "code_offsets": code_offsets_analyzer,
 }
 
 

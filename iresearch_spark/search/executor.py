@@ -508,6 +508,32 @@ class SearchEngine:
         )
         return out.join(ident, ["segment_id", "doc_id"])
 
+    def term_offsets(
+        self, term: str, field_name: str = "content"
+    ) -> DataFrame:
+        """Stored OFFS read (`core/analysis/token_attributes.hpp:37-47`):
+        for an index built with the ``code_offsets`` analyzer, each
+        position's payload is the token's original-text character span
+        packed as two big-endian uint32s; this unpacks them entirely
+        JVM-side (binary substring → hex → conv) — no Python per row.
+
+        Returns (segment_id, doc_id, repo, path, commit, pos, start_off,
+        end_off). Complements `search/highlight.py`'s recompute-at-query
+        inversion: this path serves whole-corpus offset export, where
+        recomputation would re-analyze every doc."""
+
+        def u32(col, pos):
+            return F.conv(
+                F.hex(F.expr(f"substring({col}, {pos}, 4)")), 16, 10
+            ).cast("int")
+
+        res = self.term_payloads(term, field_name)
+        return res.select(
+            "segment_id", "doc_id", "repo", "path", "commit", "pos",
+            u32("payload", 1).alias("start_off"),
+            u32("payload", 5).alias("end_off"),
+        )
+
     @staticmethod
     def _leaf_pred(leaf):
         """Term-set predicate of a multi-term leaf (JVM column expression,

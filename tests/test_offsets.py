@@ -1,0 +1,99 @@
+"""Stored OFFS attribute on the PAY stream.
+
+Reference semantics: `core/analysis/token_attributes.hpp:37-47` — offset
+{start, end} per token position, serialized alongside positions/payloads
+(`core/formats/formats_10.cpp:3618-3634` pos/pay/offs streams). Here the
+span rides the existing payload machinery as 8 packed bytes; the read path
+(`SearchEngine.term_offsets`) unpacks it JVM-side. `search/highlight.py`
+remains the recompute-at-query inversion for bounded top-k result sets;
+this is the stored path for whole-corpus offset export.
+"""
+
+import re
+import struct
+
+import pandas as pd
+import pytest
+
+from iresearch_spark.analysis import get_payload_analyzer
+from iresearch_spark.index.build import build_index
+from iresearch_spark.index.merge import consolidate
+from iresearch_spark.search import SearchEngine
+from iresearch_spark.search.highlight import tokenize_with_offsets
+
+DOCS = [
+    ("r", "0001", "c", "py", "def Spark_init(x): return SPARK + spark2"),
+    ("r", "0002", "c", "py", "  spark!! 42foo Spark"),
+    ("r", "0003", "c", "py", "no matches in THIS one"),
+    ("r", "0004", "c", "py", "spark spark spark"),
+]
+COLS = ["repo", "path", "commit", "lang", "content"]
+PAT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+")
+
+
+def _expected_offsets(term: str) -> set[tuple[str, int, int, int]]:
+    """(path, pos, start, end) from a pure-Python finditer re-tokenization."""
+    out = set()
+    for _, path, _, _, content in DOCS:
+        for pos, m in enumerate(PAT.finditer(content)):
+            if m.group().lower() == term:
+                out.add((path, pos, m.start(), m.end()))
+    return out
+
+
+@pytest.fixture(scope="module")
+def offs_index(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_offs"))
+    corpus = spark.createDataFrame(DOCS, COLS)
+    build_index(spark, corpus, d, num_segments=2, analyzer="code_offsets")
+    return d
+
+
+def test_code_offsets_analyzer_golden():
+    toks, pays = get_payload_analyzer("code_offsets")(
+        pd.Series(["Foo_Bar 42", None])
+    )
+    assert list(toks) == [["foo_bar", "42"], []]
+    assert list(pays) == [
+        [struct.pack(">II", 0, 7), struct.pack(">II", 8, 10)],
+        [],
+    ]
+
+
+def test_term_offsets_end_to_end(spark, offs_index):
+    eng = SearchEngine(spark, offs_index)
+    rows = eng.term_offsets("spark").collect()
+    got = {(r["path"], r["pos"], r["start_off"], r["end_off"]) for r in rows}
+    assert got == _expected_offsets("spark")
+    assert len(rows) == len(got)  # no duplicate occurrences
+
+
+def test_term_offsets_match_highlight_recompute(spark, offs_index):
+    """The stored path and the recompute path (highlight.py) must agree
+    span-for-span — they are two readings of the same OFFS attribute."""
+    eng = SearchEngine(spark, offs_index)
+    stored = {
+        (r["path"], r["start_off"], r["end_off"])
+        for r in eng.term_offsets("spark").collect()
+    }
+    recomputed = set()
+    for _, path, _, _, content in DOCS:
+        for term, s, e in tokenize_with_offsets(content, "code"):
+            if term == "spark":
+                recomputed.add((path, s, e))
+    assert stored == recomputed
+
+
+def test_term_offsets_survive_consolidation(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("idx_offs_merge"))
+    corpus = spark.createDataFrame(DOCS, COLS)
+    build_index(spark, corpus, d, num_segments=3, analyzer="code_offsets")
+    res = consolidate(spark, d, max_bytes=1 << 40, max_skew=1.0)
+    assert res, "expected a merge"
+    eng = SearchEngine(spark, d)
+    for term in ("spark", "spark_init", "42"):
+        got = {
+            (r["path"], r["pos"], r["start_off"], r["end_off"])
+            for r in eng.term_offsets(term).collect()
+        }
+        assert got == _expected_offsets(term), term
