@@ -93,3 +93,48 @@ def test_exhaustive_mode_reported_for_non_wandable_tree(uniform_engine):
     q = And(children=(TermF(term="alpha"), Not(child=TermF(term="beta"))))
     st = uniform_engine.wand_stats(q, k=10).collect()
     assert st and all(r["mode"] == "exhaustive" for r in st)
+
+
+def test_and_pruned_regime_on_selective_lead(clustered_engine):
+    """The boolean-tree path: a selective lead child must bound the
+    candidates so the hot non-lead child decodes only intersecting blocks
+    (and_pruned), never the whole postings. Guards against the gate
+    silently falling back to exhaustive — rank-identity tests pass either
+    way, so only the mode assertion catches a regression."""
+    from iresearch_spark.search import And
+
+    # 'end' appears only in the 300 clustered docs; 'needle' + 'w5' are
+    # corpus-wide. Lead = 'end' (cheapest by docs_count).
+    q = And(
+        children=(
+            TermF(term="end"),
+            Or(children=(TermF(term="needle"), TermF(term="w5"))),
+        )
+    )
+    st = clustered_engine.wand_stats(q, k=10).collect()
+    assert len(st) == 1
+    row = st[0]
+    assert row["mode"] in ("and_pruned", "and_full_small"), row
+    if row["mode"] == "and_pruned":
+        assert row["blocks_decoded"] < row["blocks_total"], row
+    w = clustered_engine.search(q, k=10, wand=True).collect()
+    e = clustered_engine.search(q, k=10, wand=False).collect()
+    assert [tuple(r) for r in w] == [tuple(r) for r in e]
+
+
+def test_and_wand_gate_engages_on_term_or_tree(clustered_engine):
+    """And(term, Or(terms)) with every term present in the index must NOT
+    report 'exhaustive' — that mode on this shape means the wand_and gate
+    regressed (found while diagnosing a 1M-doc run where a query term
+    missing from the corpus produced an empty lead and the diagnostic
+    default label)."""
+    from iresearch_spark.search import And
+
+    q = And(
+        children=(
+            TermF(term="needle"),
+            Or(children=(TermF(term="w5"), TermF(term="w6"))),
+        )
+    )
+    st = clustered_engine.wand_stats(q, k=10).collect()
+    assert st and all(r["mode"].startswith("and_") for r in st), st
