@@ -84,6 +84,78 @@ def test_term_offsets_match_highlight_recompute(spark, offs_index):
     assert stored == recomputed
 
 
+def test_offsets_analyzer_property_spans_slice_back():
+    """Hypothesis: for arbitrary text (incl. unicode around code tokens),
+    every emitted span slices the ORIGINAL string back to a string whose
+    lowercase equals the token — char-index semantics end to end. Python
+    str indices and the DuckDB twin's length() both count codepoints, so
+    this is the invariant the oracle relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    texts = st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts)
+    def run(batch):
+        toks, pays = get_payload_analyzer("code_offsets")(pd.Series(batch))
+        for text, tlist, plist in zip(batch, toks, pays):
+            assert len(tlist) == len(plist)
+            # exactly the tokens finditer yields, in order
+            assert tlist == [
+                m.group().lower() for m in PAT.finditer(text or "")
+            ]
+            for tok, pay in zip(tlist, plist):
+                s, e = struct.unpack(">II", pay)
+                assert text[s:e].lower() == tok
+
+    run()
+
+
+def test_term_offsets_unicode_content(spark, tmp_path_factory):
+    """Non-ASCII content around code tokens: stored spans are CHARACTER
+    indices and must slice the original str correctly after the full
+    build -> pay-stream -> JVM-unpack round trip."""
+    docs = [
+        ("r", "0001", "c", "py", "naïve café → spark(δ) # ünïcode"),
+        ("r", "0002", "c", "py", "日本語 spark 中文 spark2 🚀 spark"),
+    ]
+    d = str(tmp_path_factory.mktemp("idx_offs_uni"))
+    build_index(
+        spark,
+        spark.createDataFrame(docs, COLS),
+        d,
+        num_segments=1,
+        analyzer="code_offsets",
+    )
+    eng = SearchEngine(spark, d)
+    bypath = {p: c for _, p, _, _, c in docs}
+    rows = eng.term_offsets("spark").collect()
+    assert rows
+    for r in rows:
+        assert (
+            bypath[r["path"]][r["start_off"] : r["end_off"]].lower()
+            == "spark"
+        )
+    exp = {
+        (path, pos, m.start(), m.end())
+        for _, path, _, _, content in docs
+        for pos, m in enumerate(PAT.finditer(content))
+        if m.group().lower() == "spark"
+    }
+    got = {(r["path"], r["pos"], r["start_off"], r["end_off"]) for r in rows}
+    assert got == exp
+
+
 def test_term_offsets_survive_consolidation(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx_offs_merge"))
     corpus = spark.createDataFrame(DOCS, COLS)
