@@ -298,3 +298,24 @@ def test_identity_join_broadcasts_only_bounded_topk(engine):
     unbounded = _optimized(engine.search(TermF(term="import"), k=None))
     assert "strategy=broadcast" in bounded, bounded[-500:]
     assert "strategy=broadcast" not in unbounded, unbounded[-500:]
+
+
+def test_identity_join_dynamic_partition_pruning(engine):
+    """The top-k identity resolve must not scan the whole docmeta table:
+    docmeta is written partitionBy(segment_id), the hits side is
+    broadcast, and Spark's dynamic partition pruning narrows the scan to
+    the segments actually present in the top-k — the Spark analogue of
+    the reference opening only the matched segments' docstore
+    (`columnstore2.hpp:38-63`). At 10^12 docs this is the difference
+    between O(matched segments) and O(corpus) identity IO per query."""
+    plan = (
+        engine.search(TermF(term="import"), k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the norms side comes from the persisted blob cache, not a
+    # per-query docmeta file scan (the InMemoryRelation lineage printout
+    # contains the original scan; only the TableScan executes)
+    assert "InMemoryTableScan" in plan, plan[:2000]
