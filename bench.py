@@ -379,7 +379,13 @@ def run_wand_regimes(cpus: int) -> dict:
             "modes": sorted(st["mode"].unique().tolist()),
             "blocks_total": bt,
             "blocks_decoded": bd,
-            "skipped_block_ratio": round(1 - bd / bt, 4) if bt else None,
+            # decode_ratio > 1 in fallback regimes (bootstrap + full pass);
+            # skipped ratio is clamped to [0,1] so trend tracking reads
+            # cleanly — the raw cost lives in decode_ratio.
+            "decode_ratio": round(bd / bt, 4) if bt else None,
+            "skipped_block_ratio": (
+                round(max(0.0, 1 - bd / bt), 4) if bt else None
+            ),
         }
         eng.close()
     return out

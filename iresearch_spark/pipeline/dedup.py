@@ -398,15 +398,34 @@ def minhash_lsh_pairs(
     # signature-group view: one shuffle on the full signature (band hashes
     # are a function of the signature, so equal sigs share every band) —
     # feeds the distinct-signature band join AND both expansion sides:
-    # persist for the run (at real scale: a parquet staging write)
+    # persist for the run (at real scale: a parquet staging write).
+    #
+    # The group shuffle is pure overhead on corpora WITHOUT duplicate
+    # signatures, so a cheap aggregate decides first: count-distinct over a
+    # 64-bit hash of the signature shuffles 8-byte keys instead of ~0.5 KB
+    # signature rows. Distinct hashes imply distinct signatures, so the
+    # skip can never be taken wrongly (a hash collision just means we run
+    # the collapse on an all-distinct corpus — correct, merely slower).
     from pyspark.sql import Window
 
-    w = Window.partitionBy("sig")
-    mem = (
-        sig_df.withColumn("rep", F.min("doc_id").over(w))
-        .withColumn("n_members", F.count("*").over(w))
-        .persist()
-    )
+    sig_df = sig_df.persist()
+    stats = sig_df.agg(
+        F.count("*").alias("n"),
+        F.countDistinct(F.xxhash64("sig")).alias("d"),
+    ).collect()[0]
+    if stats["d"] == stats["n"]:
+        # every doc is its own representative; the within-group expansion
+        # below is vacuously empty under n_members == 1
+        mem = sig_df.withColumn("rep", F.col("doc_id")).withColumn(
+            "n_members", F.lit(1)
+        )
+    else:
+        w = Window.partitionBy("sig")
+        mem = (
+            sig_df.withColumn("rep", F.min("doc_id").over(w))
+            .withColumn("n_members", F.count("*").over(w))
+        )
+    mem = mem.persist()
     groups = mem.filter(F.col("doc_id") == F.col("rep"))
     # narrow bucket rows (3 ints) per DISTINCT signature for the candidate
     # join; signatures joined back only for surviving representative pairs
@@ -490,6 +509,7 @@ def minhash_lsh_pairs(
     # severing the result's lineage from mem so the cache can be freed now
     result = result.localCheckpoint(eager=True)
     mem.unpersist(blocking=False)
+    sig_df.unpersist(blocking=False)
     return result
 
 

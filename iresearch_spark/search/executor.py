@@ -104,7 +104,14 @@ def _like_regex(pattern: str):
     i = 0
     while i < len(pattern):
         c = pattern[i]
-        if c == "\\" and i + 1 < len(pattern):
+        if c == "\\":
+            if i + 1 >= len(pattern):
+                # Spark LIKE raises on a dangling escape; mirror that so
+                # the kernel twin can never diverge from the Spark-side
+                # scan predicate (which would already have errored).
+                raise ValueError(
+                    "the pattern '%s' is invalid: dangling escape" % pattern
+                )
             out.append(re.escape(pattern[i + 1]))
             i += 2
             continue
@@ -410,8 +417,19 @@ class SearchEngine:
         docmeta; any other column joins ``source`` on the identity ``key``
         (AQE broadcasts whichever side is bounded — a top-k hits side is).
 
-        Returns (segment_id, doc_id, *cols) plus any hit columns (score)."""
+        Returns (segment_id, doc_id, *cols) plus any hit columns (score).
+
+        ``source`` rows must be unique per identity ``key`` (each matched
+        doc resolves to exactly one stored row — the columnstore invariant);
+        a duplicate-keyed source would silently duplicate hit rows."""
         cols = list(cols)
+        reserved = set(hits.columns) | {"segment_id", "doc_id"}
+        clash = [c for c in cols if c in reserved]
+        if clash:
+            raise ValueError(
+                f"requested columns {clash} collide with hit/identity "
+                "columns; alias them on the hits side first"
+            )
         extra = [c for c in cols if c not in self.DOCMETA_STORED]
         ident = [c for c in cols if c not in extra]
         need_key = list(key) if extra else []

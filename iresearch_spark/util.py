@@ -67,7 +67,16 @@ class LRUCache:
         return len(self._d)
 
     def pop(self, key, default=None):
-        return self._d.pop(key, default)
+        """Remove and return ``key``, firing on_evict like every other
+        removal path — a pop that skipped the callback would silently leak
+        whatever the callback releases (persisted DataFrames, engines)."""
+        sentinel = object()
+        val = self._d.pop(key, sentinel)
+        if val is sentinel:
+            return default
+        if self._on_evict is not None:
+            self._on_evict(key, val)
+        return val
 
     def keys(self):
         return self._d.keys()

@@ -38,6 +38,19 @@ def test_lru_rejects_nonpositive_maxsize():
         LRUCache(0)
 
 
+def test_lru_pop_fires_on_evict():
+    """pop() must release resources like every other removal path — a pop
+    that skipped on_evict would leak whatever the callback frees."""
+    evicted = []
+    c = LRUCache(3, on_evict=lambda k, v: evicted.append((k, v)))
+    c["a"], c["b"] = 1, 2
+    assert c.pop("a") == 1
+    assert evicted == [("a", 1)]
+    assert c.pop("missing", "dflt") == "dflt"
+    assert evicted == [("a", 1)]  # no callback for an absent key
+    assert len(c) == 1
+
+
 def test_engine_stats_cache_is_bounded(spark, tmp_path_factory):
     """The term-stats cache must stay within its LRU bound under many
     distinct lookups, and bounded eviction must not affect results."""

@@ -293,6 +293,26 @@ def test_stored_fields_requires_source_for_non_docmeta_columns(engine):
         engine.stored_fields(hits, ["n_bytes"])
 
 
+def test_stored_fields_rejects_hit_column_collisions(engine):
+    """Requesting a column that already exists on the hits side (score,
+    doc_id) would yield ambiguous/duplicate output columns — reject it."""
+    hits = engine.search(TermF(term="import"), k=3, with_identity=False)
+    with pytest.raises(ValueError, match="collide"):
+        engine.stored_fields(hits, ["score"])
+    with pytest.raises(ValueError, match="collide"):
+        engine.stored_fields(hits, ["doc_id"])
+
+
+def test_like_regex_raises_on_dangling_escape():
+    """Spark LIKE raises on a trailing lone backslash; the kernel twin must
+    mirror that strictness rather than silently treat it as a literal."""
+    from iresearch_spark.search.executor import _like_regex
+
+    assert _like_regex("a\\%b").match("a%b")
+    with pytest.raises(ValueError, match="dangling"):
+        _like_regex("abc\\")
+
+
 def test_identity_join_broadcasts_only_bounded_topk(engine):
     bounded = _optimized(engine.search(TermF(term="import"), k=5))
     unbounded = _optimized(engine.search(TermF(term="import"), k=None))
