@@ -759,6 +759,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a driver-hash row; placed BEFORE the rows-only block so it takes the
     # last oracled window slot
     q["ft_payload"] = lambda s, d: _ft_payload(s, d, "spark")
+
+    # stored-field (columnstore) read path: resolve matched docs to pruned
+    # stored columns — identity-resident cols from docmeta, n_chars from
+    # the source table (columnstore2.hpp:38-63 analogue). Promoted INTO the
+    # window at r5 (r4 verdict ask #8) in place of two of the three WAND
+    # variants, which share the exhaustive oracles.
+    def ft_stored_fields(s, d):
+        eng = _engine(s, d)
+        hits = eng.search(TermF(term="spark"), k=None, with_identity=False)
+        out = eng.stored_fields(
+            hits,
+            ["path", "lang", "n_chars"],
+            source=_corpus_from_documents(_docs(s, d)),
+        )
+        return out.select(
+            F.col("path").cast("int").alias("doc_id"), "lang", "n_chars"
+        )
+
+    q["ft_stored_fields"] = ft_stored_fields
+
+    # stored OFFS (token_attributes.hpp:37-47): per-occurrence original-text
+    # char spans read back from the pay stream and unpacked JVM-side.
+    # Promoted INTO the window at r5 alongside ft_stored_fields.
+    def ft_stored_offsets(s, d):
+        eng = _engine_offs(s, d)
+        res = eng.term_offsets("spark")
+        return res.select(
+            F.col("path").cast("int").alias("doc_id"),
+            "pos", "start_off", "end_off",
+        )
+
+    q["ft_stored_offsets"] = ft_stored_offsets
     q["ann_lsh_topk"] = lambda s, d: lsh_ann_topk(
         _emb(s, d), F.col("vec_id") < 5, 10
     )
@@ -776,49 +808,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         assets_from_documents(_docs(s, d), kind="audio")
     )
 
-    # stored-field (columnstore) read path: resolve matched docs to pruned
-    # stored columns — identity-resident cols from docmeta, n_chars from
-    # the source table (columnstore2.hpp:38-63 analogue). Oracled, past
-    # the pinned 50-slot window; verified by the local gate replica.
-    def ft_stored_fields(s, d):
-        eng = _engine(s, d)
-        hits = eng.search(TermF(term="spark"), k=None, with_identity=False)
-        out = eng.stored_fields(
-            hits,
-            ["path", "lang", "n_chars"],
-            source=_corpus_from_documents(_docs(s, d)),
-        )
-        return out.select(
-            F.col("path").cast("int").alias("doc_id"), "lang", "n_chars"
-        )
-
-    q["ft_stored_fields"] = ft_stored_fields
-
-    # stored OFFS (token_attributes.hpp:37-47): per-occurrence original-text
-    # char spans read back from the pay stream and unpacked JVM-side.
-    # Oracled (regexp split/extract cumulative-length reconstruction), past
-    # the pinned 50-slot window; verified by the local gate replica.
-    def ft_stored_offsets(s, d):
-        eng = _engine_offs(s, d)
-        res = eng.term_offsets("spark")
-        return res.select(
-            F.col("path").cast("int").alias("doc_id"),
-            "pos", "start_off", "end_off",
-        )
-
-    q["ft_stored_offsets"] = ft_stored_offsets
     # demote variant/duplicate queries past the 50-slot window; all stay
     # oracled and locally verified (test_query_vs_oracle), their operators
     # keep in-window rows: ft_phrase covers ft_phrase_hot; ft_bm25_legacy_
     # norm/ft_tfidf cover ft_bm15; ft_granular_range_idx covers
     # rel_granular_range; ft_proxy_cached shares ft_term_scores' exact
-    # oracle; ft_term_topk_wand reuses ft_term_topk's exact oracle
+    # oracle; ft_boolean_topk_wand keeps the wanderator's driver row while
+    # ft_term_topk_wand / ft_disjunction_topk_wand (same exhaustive
+    # oracles) make window room for the r4 stored-fields/offsets read paths
     for name in (
         "ft_phrase_hot",
         "ft_bm15",
         "rel_granular_range",
         "ft_term_scores",
         "ft_term_topk",
+        "ft_term_topk_wand",
+        "ft_disjunction_topk_wand",
     ):
         q[name] = q.pop(name)
     return q

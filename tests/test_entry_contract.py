@@ -77,7 +77,7 @@ def test_query_vs_oracle(spark, ducks, name):
 # insertion can't silently evict an oracled entry (r3 advice): any window
 # change must be a deliberate edit of this list.
 EXPECTED_WINDOW = [
-    "ft_term_topk_wand", "ft_disjunction_topk_wand", "ft_boolean_topk_wand",
+    "ft_boolean_topk_wand",
     "ft_disjunction", "ft_conjunction", "ft_terms_boosted", "ft_minmatch",
     "ft_not", "ft_prefix", "ft_wildcard", "ft_range", "ft_fuzzy",
     "ft_fuzzy_transpose", "ft_phrase", "ft_phrase_gap", "ft_same_position",
@@ -91,6 +91,7 @@ EXPECTED_WINDOW = [
     "evt_json_extract", "evt_sessionize", "evt_asof_join", "mm_decode_meta",
     "ann_cosine_pairs", "ann_cosine_topk", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_simhash_pairs", "ft_payload",
+    "ft_stored_fields", "ft_stored_offsets",
 ]
 
 
