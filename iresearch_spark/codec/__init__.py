@@ -10,5 +10,6 @@ from iresearch_spark.codec.postings import (  # noqa: F401
     encode_positions_batch,
     decode_postings_many,
     encode_payloads_batch,
+    encode_span_payloads_batch,
     decode_payloads,
 )

@@ -264,6 +264,52 @@ def encode_payloads_batch(
     return lb, db
 
 
+def encode_span_payloads_batch(
+    freqs: np.ndarray,
+    flat_starts: np.ndarray,
+    flat_ends: np.ndarray,
+    term_lengths: np.ndarray,
+) -> tuple[list[bytes], list[bytes]]:
+    """Fixed-width (8-byte) span payload encoding — the stored OFFS
+    attribute's pay stream (`formats_10.cpp:3618-3634` offset write), fully
+    vectorized: each occurrence's payload is its original-text char span as
+    two big-endian uint32s, byte-identical to ``struct.pack(">II", s, e)``
+    fed through :func:`encode_payloads_batch`, without materializing a
+    Python ``bytes`` object per occurrence (the r4 per-row-Python build
+    bottleneck).
+
+    ``flat_starts``/``flat_ends``: per-occurrence spans in the same
+    term-major / doc-major / position-ascending order as
+    ``encode_positions_batch``'s ``flat_positions``. Returns per-term
+    ``(len_blobs, data_blobs)``.
+    """
+    nt = np.ascontiguousarray(term_lengths, dtype=np.int64)
+    T = nt.size
+    if T == 0:
+        return [], []
+    freqs = np.ascontiguousarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    starts = np.ascontiguousarray(flat_starts, dtype=np.int64)
+    ends = np.ascontiguousarray(flat_ends, dtype=np.int64)
+    if starts.size != total or ends.size != total:
+        raise ValueError("flat span arrays length != sum(freqs)")
+    pairs = np.empty((total, 2), dtype=">u4")
+    pairs[:, 0] = starts
+    pairs[:, 1] = ends
+    data = pairs.tobytes()
+    term_starts = np.concatenate([[0], np.cumsum(nt)])[:-1]
+    occ_per_term = np.add.reduceat(freqs, term_starts) if total else nt * 0
+    occ_starts = np.concatenate([[0], np.cumsum(occ_per_term)])
+    # every payload is 8 bytes -> the varint sizes stream is one 0x08 byte
+    # per occurrence (matching encode_payloads_batch on 8-byte payloads)
+    lb = [b"\x08" * int(occ_per_term[t]) for t in range(T)]
+    db = [
+        data[int(occ_starts[t]) * 8 : int(occ_starts[t + 1]) * 8]
+        for t in range(T)
+    ]
+    return lb, db
+
+
 def decode_payloads(
     len_blob: bytes, data_blob: bytes, freqs: np.ndarray
 ) -> np.ndarray:

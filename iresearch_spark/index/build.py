@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from iresearch_spark.analysis import (
     CODE_TOKEN_PATTERN,
+    CODE_TOKEN_PATTERN_CI,
     get_analyzer,
     get_payload_analyzer,
     is_payload_analyzer,
@@ -48,6 +49,7 @@ from iresearch_spark.codec import (
     encode_payloads_batch,
     encode_positions_batch,
     encode_postings_batch,
+    encode_span_payloads_batch,
 )
 from iresearch_spark.index.manifest import (
     Manifest,
@@ -111,6 +113,17 @@ JVM_TOKENIZERS = {
 }
 JVM_TOKENIZERS["segmentation"] = JVM_TOKENIZERS["code"]
 
+# Payload analyzers whose token SPANS are computable JVM-side: the same
+# regexp drives regexp_extract_all (tokens, original case) and split (the
+# n+1 inter-token gaps); per-token char spans follow from cumulative
+# gap/token lengths — the technique the ft_stored_offsets DuckDB oracle
+# already validates char-exact. The kernel then sees only integer arrays
+# (hashes + gap/token lengths), keeping the OFFS-enabled build on the same
+# memory-bandwidth profile as the plain JVM build (the r4 verdict's one
+# perf-weak item: the per-row re.finditer + struct.pack path).
+JVM_SPAN_TOKENIZERS = {"code_offsets": CODE_TOKEN_PATTERN_CI}
+
+
 def make_dl_expr(analyzer: str, column: str = "content"):
     """Per-doc token count (the Norm2 ``dl``) under the BUILD analyzer —
     must match what the invert kernel counts, or BM25 norms are wrong.
@@ -118,6 +131,16 @@ def make_dl_expr(analyzer: str, column: str = "content"):
     the same Python analyzer."""
     if analyzer in JVM_TOKENIZERS:
         return F.size(JVM_TOKENIZERS[analyzer](F.col(column)))
+    if analyzer in JVM_SPAN_TOKENIZERS:
+        # token count is case-invariant: the CI pattern over the original
+        # text yields exactly the tokens the payload analyzer lowercases
+        return F.size(
+            F.regexp_extract_all(
+                F.coalesce(F.col(column), F.lit("")),
+                F.lit(JVM_SPAN_TOKENIZERS[analyzer]),
+                F.lit(0),
+            )
+        )
     if is_payload_analyzer(analyzer):
         pfn = get_payload_analyzer(analyzer)
 
@@ -152,15 +175,26 @@ HASH_SEGMENTS_SCHEMA = (
     "positions binary, pos_offsets array<long>"
 )
 
+# span-payload variant: the kernel also emits the pay streams (fixed 8-byte
+# char spans), fed by integer gap/token-length arrays computed JVM-side
+HASH_SEGMENTS_PAY_SCHEMA = HASH_SEGMENTS_SCHEMA + ", pay_lens binary, payloads binary"
 
-def _invert_hash_kernel(with_positions: bool):
+
+def _invert_hash_kernel(with_positions: bool, with_spans: bool = False):
     """Pure-integer invert: one input row per doc (segment_id, doc_id, dl,
     hs array<long> of per-token hashes) -> one output row per term hash with
     encoded postings. Same math as ``_invert_kernel`` with the term identity
     carried as a 64-bit hash; term strings are joined back JVM-side from the
-    per-segment dictionary. Token positions are the array ordinals."""
+    per-segment dictionary. Token positions are the array ordinals.
 
-    cols = [c.split()[0] for c in HASH_SEGMENTS_SCHEMA.split(", ")]
+    ``with_spans``: rows additionally carry ``gls``/``tls`` (per-token gap /
+    token char lengths, array<int>) and the kernel emits the stored-OFFS pay
+    streams — per-occurrence char spans reconstructed by cumulative-length
+    arithmetic (start_i = within-doc cumsum(gap+len)_i - len_i), still
+    integer-only end to end."""
+
+    schema = HASH_SEGMENTS_PAY_SCHEMA if with_spans else HASH_SEGMENTS_SCHEMA
+    cols = [c.split()[0] for c in schema.split(", ")]
 
     def invert(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -176,6 +210,20 @@ def _invert_hash_kernel(with_positions: bool):
         doc_rep = np.repeat(doc_ids, counts)
         doc_starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
         pos = np.arange(total, dtype=np.int64) - np.repeat(doc_starts, counts)
+
+        if with_spans:
+            flat_gl = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["gls"]]
+            )
+            flat_tl = np.concatenate(
+                [np.asarray(x, dtype=np.int64) for x in pdf["tls"]]
+            )
+            # within-doc cumulative sum of (gap + token) lengths is each
+            # token's END char offset; start = end - token length
+            cs = np.cumsum(flat_gl + flat_tl)
+            cs_before = np.concatenate([[0], cs])[doc_starts]
+            ends_flat = cs - np.repeat(cs_before, counts)
+            starts_flat = ends_flat - flat_tl
 
         order = np.lexsort((pos, doc_rep, flat_h))
         sh, sd, sp = flat_h[order], doc_rep[order], pos[order]
@@ -214,13 +262,19 @@ def _invert_hash_kernel(with_positions: bool):
             "max_freqs": maxf,
             "min_norms": minn,
         }
-        if with_positions:
+        if with_positions or with_spans:
             pblobs, poffs = encode_positions_batch(freqs, sp, term_lengths)
             out["positions"] = pblobs
             out["pos_offsets"] = poffs
         else:
             out["positions"] = None
             out["pos_offsets"] = None
+        if with_spans:
+            lb, db = encode_span_payloads_batch(
+                freqs, starts_flat[order], ends_flat[order], term_lengths
+            )
+            out["pay_lens"] = lb
+            out["payloads"] = db
         return pd.DataFrame(out)
 
     return invert
@@ -244,10 +298,15 @@ def make_seg_builder(
     Python-tokenizer grouped kernel."""
     column = column or field
     with_payloads = is_payload_analyzer(analyzer)
-    use_jvm = (
-        (analyzer in JVM_TOKENIZERS if jvm_tokenize is None else jvm_tokenize)
-        and not with_payloads  # pay bytes only flow through the Python kernel
+    # span-payload analyzers (stored OFFS) keep the JVM integer path: the
+    # pay bytes are a pure function of char spans, computable JVM-side
+    with_spans = analyzer in JVM_SPAN_TOKENIZERS
+    jvm_ok = (
+        (analyzer in JVM_TOKENIZERS or with_spans)
+        if jvm_tokenize is None
+        else jvm_tokenize
     )
+    use_jvm = jvm_ok and (not with_payloads or with_spans)
     if not use_jvm:
         invert = _invert_kernel(analyzer, field, with_positions, with_payloads)
         schema = SEGMENTS_PAY_SCHEMA if with_payloads else SEGMENTS_SCHEMA
@@ -263,16 +322,45 @@ def make_seg_builder(
 
         return build_py
 
-    toks_expr = JVM_TOKENIZERS[analyzer]
-    invert_h = _invert_hash_kernel(with_positions)
+    invert_h = _invert_hash_kernel(with_positions, with_spans=with_spans)
+    kernel_schema = (
+        HASH_SEGMENTS_PAY_SCHEMA if with_spans else HASH_SEGMENTS_SCHEMA
+    )
 
     def build_jvm(sub: DataFrame) -> DataFrame:
         # materialize the token array once per doc (a named column — putting
         # the regexp expression inline next to explode/transform makes
         # Catalyst re-evaluate it per produced row; measured 10x slowdown)
-        arr = sub.select(
-            "segment_id", "doc_id", toks_expr(F.col(column)).alias("toks")
-        )
+        if with_spans:
+            pat = JVM_SPAN_TOKENIZERS[analyzer]
+            raw = F.coalesce(F.col(column), F.lit(""))
+            # tokens in ORIGINAL case (spans refer to the original text) +
+            # the n+1 inter-token gaps; lower per token afterwards — the
+            # byte-equivalent twin of code_offsets_analyzer's finditer pass
+            pre = sub.select(
+                "segment_id",
+                "doc_id",
+                F.regexp_extract_all(raw, F.lit(pat), F.lit(0)).alias(
+                    "toks_ci"
+                ),
+                F.split(raw, pat, -1).alias("gaps"),
+            )
+            arr = pre.select(
+                "segment_id",
+                "doc_id",
+                F.expr("transform(toks_ci, t -> lower(t))").alias("toks"),
+                F.expr("transform(toks_ci, t -> length(t))").alias("tls"),
+                F.expr(
+                    "transform(slice(gaps, 1, size(toks_ci)), g -> length(g))"
+                ).alias("gls"),
+            )
+            span_cols = ["gls", "tls"]
+        else:
+            toks_expr = JVM_TOKENIZERS[analyzer]
+            arr = sub.select(
+                "segment_id", "doc_id", toks_expr(F.col(column)).alias("toks")
+            )
+            span_cols = []
         # kernel feed: per-doc hash arrays, fixed-width ints end to end —
         # no Python string objects anywhere in the hot path
         kernel_in = arr.select(
@@ -280,9 +368,10 @@ def make_seg_builder(
             "doc_id",
             F.size("toks").alias("dl"),
             F.expr("transform(toks, t -> xxhash64(t))").alias("hs"),
+            *span_cols,
         )
         seg_hash = kernel_in.groupBy("segment_id").applyInPandas(
-            invert_h, schema=HASH_SEGMENTS_SCHEMA
+            invert_h, schema=kernel_schema
         )
         # per-segment term dictionary for the hash -> term join back;
         # min==max detects (astronomically unlikely) xxhash64 collisions and
@@ -317,6 +406,7 @@ def make_seg_builder(
             "min_norms",
             "positions",
             "pos_offsets",
+            *(["pay_lens", "payloads"] if with_spans else []),
         )
         # explicit partition count: AQE would coalesce the small-by-bytes
         # join output into a couple of partitions, serializing the (CPU

@@ -156,6 +156,60 @@ def test_term_offsets_unicode_content(spark, tmp_path_factory):
     assert got == exp
 
 
+def test_jvm_offsets_build_byte_equivalent(spark, tmp_path_factory):
+    """The JVM-vectorized OFFS build path (regexp_extract_all + split gaps
+    + integer kernel; r4 verdict ask #1) must produce an index BYTE-identical
+    to the per-row Python analyzer path: same manifest content hashes AND
+    identical pay streams per (segment, term) — mirrors test_jvm_tokenize.py
+    with the payload columns added to the comparison."""
+    mixed = [
+        ("r", f"{i:04d}", "c", "py", text)
+        for i, text in enumerate(
+            [
+                "def Spark_init(x): return SPARK + spark2",
+                "naïve café → spark(δ) # ünïcode",
+                "日本語 spark 中文 spark2 🚀 spark",
+                "",
+                "   ",
+                "UPPER lower MiXeD_case 0042 _lead",
+                "a b c a b c a",
+                None,
+            ]
+        )
+    ]
+    base = tmp_path_factory.mktemp("idx_offs_paths")
+    dirs = {}
+    for name, jvm in (("jvm", True), ("py", False)):
+        d = str(base / name)
+        corpus = spark.createDataFrame(mixed, COLS)
+        build_index(
+            spark, corpus, d, num_segments=2, analyzer="code_offsets",
+            jvm_tokenize=jvm,
+        )
+        dirs[name] = d
+    from iresearch_spark.index import read_manifest
+    from iresearch_spark.index.build import SEGMENTS_PAY_SCHEMA
+
+    ms = {k: read_manifest(v) for k, v in dirs.items()}
+    for a, b in zip(ms["jvm"].segments, ms["py"].segments):
+        assert a["content_hash"] == b["content_hash"], (a, b)
+        assert a["terms"] == b["terms"] and a["docs"] == b["docs"]
+    assert ms["jvm"].with_payloads and ms["py"].with_payloads
+
+    def pay_rows(d):
+        df = spark.read.schema(SEGMENTS_PAY_SCHEMA).parquet(f"{d}/segments")
+        return {
+            (r["segment_id"], r["term"]): (
+                bytes(r["pay_lens"]),
+                bytes(r["payloads"]),
+                bytes(r["positions"]),
+            )
+            for r in df.collect()
+        }
+
+    assert pay_rows(dirs["jvm"]) == pay_rows(dirs["py"])
+
+
 def test_term_offsets_survive_consolidation(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("idx_offs_merge"))
     corpus = spark.createDataFrame(DOCS, COLS)
