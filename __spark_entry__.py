@@ -363,6 +363,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )),
         10,
     )
+    # r5: min_match>1 disjunction through the generic WAND driver
+    # (min_match_disjunction.hpp:62-200 analogue) — exact, so the oracle is
+    # the exhaustive min_match top-k SQL
+    q["ft_minmatch_topk_wand"] = lambda s, d: _ft_topk_wand(
+        s, d,
+        TermsF(terms=("spark", "window", "customer"), min_match=2),
+        10,
+    )
     q["ft_disjunction"] = lambda s, d: _ft(
         s, d, Or(children=(TermF(term="window"), TermF(term="batch")))
     )
@@ -816,6 +824,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oracle; ft_boolean_topk_wand keeps the wanderator's driver row while
     # ft_term_topk_wand / ft_disjunction_topk_wand (same exhaustive
     # oracles) make window room for the r4 stored-fields/offsets read paths
+    # (r5: ft_fuzzy_transpose joins the demoted set — the Damerau-flag
+    # variant of in-window ft_fuzzy — making window room for the new
+    # ft_minmatch_topk_wand operator row)
     for name in (
         "ft_phrase_hot",
         "ft_bm15",
@@ -824,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_term_topk",
         "ft_term_topk_wand",
         "ft_disjunction_topk_wand",
+        "ft_fuzzy_transpose",
     ):
         q[name] = q.pop(name)
     return q
@@ -867,6 +879,13 @@ FROM documents WHERE n_chars BETWEEN 200 AND 900
     )
     o["ft_minmatch"] = _bm25_union_sql(
         "term IN ('spark','window','customer')", min_match=2
+    )
+    # min_match WAND is exact: same exhaustive SQL, top-k
+    o["ft_minmatch_topk_wand"] = (
+        _bm25_union_sql(
+            "term IN ('spark','window','customer')", min_match=2
+        )
+        + " ORDER BY score DESC, doc_id LIMIT 10"
     )
     o["ft_not"] = _bm25_union_sql(
         "term = 'window'",

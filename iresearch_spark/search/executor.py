@@ -1701,17 +1701,19 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
             """Exact scores over the masked docs, decoding ONLY blocks that
             intersect the mask; per-doc combination follows ScoreMergeType
             exactly like merge_union (sum accumulates in tid order — the
-            same float32 op order as the exhaustive path)."""
+            same float32 op order as the exhaustive path). Returns the
+            dense score array plus the per-doc MATCHED-TERM COUNT (the
+            min_match input, `min_match_disjunction.hpp:62-200`)."""
             if merge == "sum":
                 acc = np.zeros(ndocs + 1, dtype)
             elif merge == "max":
                 acc = np.full(ndocs + 1, -np.inf, dtype)
             else:
                 acc = np.full(ndocs + 1, np.inf, dtype)
-            matched = np.zeros(ndocs + 1, dtype=bool)
+            counts = np.zeros(ndocs + 1, dtype=np.int32)
             cum = np.concatenate([[0], np.cumsum(cand_mask)])
             for tid in tids:
-                for r, first, last in blockinfo[tid]:
+                for r, first, last in blockinfo.get(tid, []):
                     need = (
                         cum[np.minimum(last + 1, ndocs + 1)] - cum[first]
                     ) > 0
@@ -1735,22 +1737,98 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
                         acc[d] = np.maximum(acc[d], s)
                     else:
                         acc[d] = np.minimum(acc[d], s)
-                    matched[d] = True
-            return acc, matched
+                    # a term's shards are disjoint doc ranges, so each doc
+                    # appears at most once per tid — plain += is exact
+                    counts[d] += 1
+            return acc, counts
 
-        def wand_terms(node: dict) -> tuple[np.ndarray, np.ndarray]:
+        def descendant_tids(n: dict) -> list[int]:
+            """Scored term ids under a wandable subtree, in tree order
+            (excludes contribute no score and are NOT collected)."""
+            if n["op"] == "terms":
+                return list(n["tids"])
+            out: list[int] = []
+            for c in n["children"]:
+                out.extend(descendant_tids(c))
+            return out
+
+        def node_cost(n: dict) -> int:
+            cost = 0
+            for t in descendant_tids(n):
+                for r in rows_by_term.get(inst_key(t), []):
+                    cost += int(r.docs_count)
+            return cost
+
+        def eval_masked(node: dict, cand_mask, blockinfo):
+            """Generic masked evaluator: exact (dense score, dense matched)
+            over docs inside ``cand_mask`` only, decoding just the posting
+            blocks that intersect the mask. Mirrors eval_node's semantics
+            AND float op order for terms/or/and subtrees (per-doc sums run
+            child-major then tid-major, exactly like merge_union over
+            concatenated parts), so WAND results stay bit-identical to the
+            exhaustive path (`formats_10.cpp:2426-2806` wanderator-inside-
+            boolean analogue)."""
+            op = node["op"]
+            if op == "terms":
+                acc, counts = score_subset(
+                    node["tids"], blockinfo, cand_mask,
+                    node.get("merge", "sum"),
+                )
+                return acc, counts >= node["min_match"]
+            if op == "or":
+                merge = node.get("merge", "sum")
+                if merge == "sum":
+                    acc = np.zeros(ndocs + 1, dtype)
+                elif merge == "max":
+                    acc = np.full(ndocs + 1, -np.inf, dtype)
+                else:
+                    acc = np.full(ndocs + 1, np.inf, dtype)
+                counts = np.zeros(ndocs + 1, dtype=np.int32)
+                for c in node["children"]:
+                    acc_c, m_c = eval_masked(c, cand_mask, blockinfo)
+                    if merge == "sum":
+                        # x + 0.0 == x exactly: unmatched children are
+                        # no-ops, matched ones add in child order (the
+                        # same per-doc order as merge_union's add.at)
+                        acc += np.where(m_c, acc_c, dtype(0))
+                    elif merge == "max":
+                        acc = np.where(m_c, np.maximum(acc, acc_c), acc)
+                    else:
+                        acc = np.where(m_c, np.minimum(acc, acc_c), acc)
+                    counts += m_c
+                return acc, counts >= node["min_match"]
+            if op == "and":
+                matched = cand_mask.copy()
+                acc = np.zeros(ndocs + 1, dtype)
+                for c in node["children"]:
+                    acc_c, m_c = eval_masked(c, cand_mask, blockinfo)
+                    acc += np.where(m_c, acc_c, dtype(0))
+                    matched &= m_c
+                for ex in node.get("excludes", []):
+                    ed, _ = eval_node(ex)
+                    matched[ed] = False
+                return acc, matched
+            raise ValueError(op)  # pragma: no cover — gated by wandable
+
+        def wand_flat(node: dict) -> tuple[np.ndarray, np.ndarray]:
+            """Two-phase block-max WAND for any wandable terms/or subtree —
+            including min_match>1 disjunctions and Or-of-And nests. The
+            dense per-doc SUM of every descendant term's block upper bounds
+            is a valid bound for any sum/max/min merge combination over
+            non-negative scores (and min_match only shrinks the match set),
+            so one bound serves the whole tree."""
             tids = [
-                t for t in node["tids"] if inst_key(t) in rows_by_term
+                t for t in descendant_tids(node)
+                if inst_key(t) in rows_by_term
             ]
             if not tids:
                 return np.empty(0, np.int64), np.empty(0, dtype)
-            merge = node.get("merge", "sum")
             ub, blockinfo = dense_ub(tids)
 
             def full_pass(mode: str):
                 diag["mode"] = mode
-                acc, matched = score_subset(
-                    tids, blockinfo, np.ones(ndocs + 1, dtype=bool), merge
+                acc, matched = eval_masked(
+                    node, np.ones(ndocs + 1, dtype=bool), blockinfo
                 )
                 docs = np.flatnonzero(matched)
                 return docs, acc[docs]
@@ -1762,7 +1840,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
             top_ub_docs = np.argpartition(ub, -C)[-C:]
             mask1 = np.zeros(ndocs + 1, dtype=bool)
             mask1[top_ub_docs] = True
-            acc1, matched1 = score_subset(tids, blockinfo, mask1, merge)
+            acc1, matched1 = eval_masked(node, mask1, blockinfo)
             cand1 = np.flatnonzero(matched1)
             if cand1.size < k:
                 return full_pass("full_lowmatch")
@@ -1779,7 +1857,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
             if mask2.sum() > 0.25 * (ndocs + 1):
                 return full_pass("full_dense")
             diag["mode"] = "pruned"
-            acc2, matched2 = score_subset(tids, blockinfo, mask2, merge)
+            acc2, matched2 = eval_masked(node, mask2, blockinfo)
             # phase masks are disjoint: each matched doc's exact score
             # lives in exactly one acc (works for sum AND max/min merges)
             acc = np.where(matched1, acc1, acc2)
@@ -1788,27 +1866,29 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
             return docs, acc[docs]
 
         def wand_and(node: dict) -> tuple[np.ndarray, np.ndarray]:
-            """Block-max pruning for a top-k conjunction of flat scored
-            term nodes (`And(term, Or(terms))` and friends): the cheapest
-            child (by summed docs_count) decodes exhaustively and bounds
-            the candidate set; every other child decodes ONLY blocks that
-            intersect it (the wanderator's leaf-level skip,
-            `formats_10.cpp:2426-2806`), with a bootstrap threshold over
-            s_lead + sum of the other children's block upper bounds
-            (`score.hpp:33-62` max.tail analogue) pruning candidates that
-            can never reach the top k. Exact scores accumulate per child
-            in CHILD order — the same float32 op order as the exhaustive
-            'and' — so results are bit-identical to WAND-off."""
+            """Block-max pruning for a top-k conjunction of wandable
+            subtrees (`And(term, Or(terms))`, min_match children, nested
+            Or-of-And, with excludes): the cheapest child (by summed
+            docs_count) decodes exhaustively and bounds the candidate set;
+            every other child decodes ONLY blocks that intersect it (the
+            wanderator's leaf-level skip, `formats_10.cpp:2426-2806`), with
+            a bootstrap threshold over s_lead + sum of the other children's
+            block upper bounds (`score.hpp:33-62` max.tail analogue)
+            pruning candidates that can never reach the top k. Excludes are
+            removed from the lead BEFORE the threshold bootstrap (an
+            excluded doc must never inflate theta). Exact scores accumulate
+            per child in CHILD order — the same float32 op order as the
+            exhaustive 'and' — so results are bit-identical to WAND-off."""
             children = node["children"]
-            costs = []
-            for c in children:
-                cost = 0
-                for t in c["tids"]:
-                    for r in rows_by_term.get(inst_key(t), []):
-                        cost += int(r.docs_count)
-                costs.append(cost)
+            costs = [node_cost(c) for c in children]
             lead = int(np.argmin(costs))
             d_lead, s_lead = eval_node(children[lead])
+            for ex in node.get("excludes", []):
+                if d_lead.size == 0:
+                    break
+                ed, _ = eval_node(ex)
+                keep = ~np.isin(d_lead, ed, assume_unique=True)
+                d_lead, s_lead = d_lead[keep], s_lead[keep]
             if d_lead.size == 0:
                 return d_lead, s_lead
             others = []
@@ -1816,12 +1896,13 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
                 if j == lead:
                     continue
                 tids = [
-                    t for t in c["tids"] if inst_key(t) in rows_by_term
+                    t for t in descendant_tids(c)
+                    if inst_key(t) in rows_by_term
                 ]
                 if not tids:  # child matches nothing here -> empty conj
                     return np.empty(0, np.int64), np.empty(0, dtype)
                 ub_j, binfo_j = dense_ub(tids)
-                others.append((j, tids, binfo_j, ub_j, c.get("merge", "sum")))
+                others.append((j, c, binfo_j, ub_j))
 
             def exact_on(docs_sub: np.ndarray):
                 """Conjunction-exact (docs, scores) restricted to the given
@@ -1830,9 +1911,9 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
                 mask[docs_sub] = True
                 accs: dict[int, np.ndarray] = {}
                 alive = docs_sub
-                for j, tids, binfo, _ub, merge in others:
-                    acc_j, matched_j = score_subset(tids, binfo, mask, merge)
-                    accs[j] = acc_j
+                for j, c, binfo, _ub in others:
+                    acc_j, matched_j = eval_masked(c, mask, binfo)
+                    accs[j] = np.where(matched_j, acc_j, dtype(0))
                     alive = alive[matched_j[alive]]
                 if alive.size == 0:
                     return alive, np.empty(0, dtype)
@@ -1849,7 +1930,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
                 diag["mode"] = "and_full_small"
                 return exact_on(d_lead)
             ub_total = s_lead.astype(np.float64)
-            for _j, _tids, _binfo, ub_j, _m in others:
+            for _j, _c, _binfo, ub_j in others:
                 ub_total = ub_total + ub_j[d_lead]
             top_idx = np.argpartition(ub_total, -C)[-C:]
             docs1 = np.sort(d_lead[top_idx])
@@ -1873,26 +1954,46 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
             order_ = np.argsort(docs, kind="stable")
             return docs[order_], scores[order_]
 
-        def wandable_terms(n: dict) -> bool:
-            return (
-                n["op"] == "terms"
-                and n.get("rest") is None
-                and n["min_match"] == 1
-                and n.get("merge", "sum") in ("sum", "max", "min")
-                and bool(n["tids"])
-                and all(instances[t]["scored"] for t in n["tids"])
-            )
+        def wandable_subtree(n: dict) -> bool:
+            """True when every scored leaf under ``n`` is a plain terms set
+            (no unscored rest), all merges are sum/max/min, and min_match
+            is satisfiable — the shapes the wanderator serves
+            (`formats_10.cpp:2426-2806`, `min_match_disjunction.hpp`).
+            Excludes under 'and' are allowed (they only shrink the match
+            set, so the sum-of-UBs bound stays valid)."""
+            op = n["op"]
+            if op == "terms":
+                return (
+                    n.get("rest") is None
+                    and n.get("merge", "sum") in ("sum", "max", "min")
+                    and bool(n["tids"])
+                    and n["min_match"] <= len(n["tids"])
+                    and all(instances[t]["scored"] for t in n["tids"])
+                )
+            if op == "or":
+                return (
+                    n.get("merge", "sum") in ("sum", "max", "min")
+                    and bool(n["children"])
+                    and n["min_match"] <= len(n["children"])
+                    and all(wandable_subtree(c) for c in n["children"])
+                )
+            if op == "and":
+                return bool(n["children"]) and all(
+                    wandable_subtree(c) for c in n["children"]
+                )
+            return False
 
-        use_wand = wand and wandable_terms(tree)
+        use_wand = (
+            wand and tree["op"] in ("terms", "or") and wandable_subtree(tree)
+        )
         use_wand_and = (
             wand
             and tree["op"] == "and"
-            and not tree.get("excludes")
             and len(tree["children"]) >= 2
-            and all(wandable_terms(c) for c in tree["children"])
+            and all(wandable_subtree(c) for c in tree["children"])
         )
         if use_wand:
-            docs, scores = wand_terms(tree)
+            docs, scores = wand_flat(tree)
         elif use_wand_and:
             docs, scores = wand_and(tree)
         else:

@@ -77,10 +77,10 @@ def test_query_vs_oracle(spark, ducks, name):
 # insertion can't silently evict an oracled entry (r3 advice): any window
 # change must be a deliberate edit of this list.
 EXPECTED_WINDOW = [
-    "ft_boolean_topk_wand",
+    "ft_boolean_topk_wand", "ft_minmatch_topk_wand",
     "ft_disjunction", "ft_conjunction", "ft_terms_boosted", "ft_minmatch",
     "ft_not", "ft_prefix", "ft_wildcard", "ft_range", "ft_fuzzy",
-    "ft_fuzzy_transpose", "ft_phrase", "ft_phrase_gap", "ft_same_position",
+    "ft_phrase", "ft_phrase_gap", "ft_same_position",
     "ft_field_lang", "ft_granular_range_idx", "ft_collation",
     "ft_text_stem", "ft_proxy_cached", "ft_highlight", "ft_exists",
     "ft_ngram_similarity", "ft_bm25_legacy_norm", "ft_tfidf", "ft_doclen",

@@ -144,12 +144,33 @@ def test_rank_identity(engine, oracle, name, query, k):
                                     TermF(term="sym_9"))))), 10),
         (And(children=(TermF(term="import"), TermF(term="void"),
                        TermF(term="sym_2"))), 5),
-        # min_match > 1 child: wand_and must NOT apply (falls back)
+        # min_match > 1 child now rides wand_and (counts thread through
+        # eval_masked) and must stay bit-identical
         (And(children=(TermF(term="import"),
                        TermsF(terms=("sym_2", "sym_3"), min_match=2))), 10),
-        # excludes: falls back to exhaustive
+        # single positive child + exclude: stays exhaustive (no pruning
+        # value), but must stay exact
         (And(children=(TermF(term="import"),
                        Not(child=TermF(term="void")))), 10),
+        # r5: top-level min_match>1 disjunction takes the WAND path
+        (TermsF(terms=("import", "void", "sym_9"), min_match=2), 10),
+        (TermsF(terms=("import", "void", "sym_9", "sym_500"),
+                min_match=3), 25),
+        # r5: Or-of-And mixed tree (wanderator-inside-boolean analogue)
+        (Or(children=(And(children=(TermF(term="import"),
+                                    TermF(term="sym_2"))),
+                      TermF(term="uniq_5_a"))), 10),
+        # r5: Or with min_match=2 over subtree children
+        (Or(children=(TermF(term="import"), TermF(term="void"),
+                      TermF(term="sym_9")), min_match=2), 10),
+        # r5: conjunction with an exclude and >=2 positive children rides
+        # wand_and (exclude filtered from the lead pre-bootstrap)
+        (And(children=(TermF(term="import"), TermF(term="void"),
+                       Not(child=TermF(term="sym_2")))), 10),
+        # r5: min_match disjunction nested under a conjunction
+        (And(children=(TermsF(terms=("sym_2", "sym_3", "sym_4"),
+                              min_match=2),
+                       TermF(term="import"))), 10),
     ],
 )
 def test_wand_equals_exhaustive(engine, query, k):

@@ -138,3 +138,77 @@ def test_and_wand_gate_engages_on_term_or_tree(clustered_engine):
     )
     st = clustered_engine.wand_stats(q, k=10).collect()
     assert st and all(r["mode"].startswith("and_") for r in st), st
+
+
+WAND_FLAT_MODES = ("pruned", "full_dense", "full_small", "full_lowmatch")
+
+
+def test_minmatch_disjunction_takes_wand_path(clustered_engine):
+    """r5: min_match>1 disjunctions ride the generic WAND driver
+    (min_match_disjunction.hpp:62-200 analogue) — 'exhaustive' on this
+    shape means the wandable gate regressed. Bit-identity to WAND-off is
+    asserted alongside the mode."""
+    from iresearch_spark.search import TermsF
+
+    q = TermsF(terms=("needle", "end", "w5"), min_match=2)
+    st = clustered_engine.wand_stats(q, k=10).collect()
+    assert len(st) == 1
+    assert st[0]["mode"] in WAND_FLAT_MODES, st[0]
+    w = clustered_engine.search(q, k=10, wand=True).collect()
+    e = clustered_engine.search(q, k=10, wand=False).collect()
+    assert [tuple(r) for r in w] == [tuple(r) for r in e]
+
+
+def test_minmatch_prunes_on_selective_threshold(clustered_engine):
+    """A min_match pair whose qualifying docs are the 300 clustered head
+    docs (needle+end) must actually PRUNE: the bootstrap's theta comes from
+    high-ub head docs and the tail blocks' needle+w bounds fall below it."""
+    from iresearch_spark.search import TermsF
+
+    q = TermsF(terms=("needle", "end"), min_match=2)
+    st = clustered_engine.wand_stats(q, k=10).collect()
+    row = st[0]
+    assert row["mode"] == "pruned", row
+    assert row["blocks_decoded"] < row["blocks_total"], row
+    w = clustered_engine.search(q, k=10, wand=True).collect()
+    e = clustered_engine.search(q, k=10, wand=False).collect()
+    assert [tuple(r) for r in w] == [tuple(r) for r in e]
+
+
+def test_or_of_and_takes_wand_path(clustered_engine):
+    """r5: one level of Or-of-wandable-children (including an And nest)
+    rides the generic WAND driver instead of falling back."""
+    from iresearch_spark.search import And
+
+    q = Or(
+        children=(
+            And(children=(TermF(term="end"), TermF(term="needle"))),
+            TermF(term="w5"),
+        )
+    )
+    st = clustered_engine.wand_stats(q, k=10).collect()
+    assert len(st) == 1
+    assert st[0]["mode"] in WAND_FLAT_MODES, st[0]
+    w = clustered_engine.search(q, k=10, wand=True).collect()
+    e = clustered_engine.search(q, k=10, wand=False).collect()
+    assert [tuple(r) for r in w] == [tuple(r) for r in e]
+
+
+def test_and_with_exclude_rides_wand_and(clustered_engine):
+    """r5: excludes no longer disqualify a >=2-positive-child conjunction;
+    the exclude is filtered from the lead before the bootstrap so theta is
+    never inflated by a doc the exclusion removes."""
+    from iresearch_spark.search import And, Not
+
+    q = And(
+        children=(
+            TermF(term="end"),
+            TermF(term="needle"),
+            Not(child=TermF(term="w5")),
+        )
+    )
+    st = clustered_engine.wand_stats(q, k=10).collect()
+    assert st and all(r["mode"].startswith("and_") for r in st), st
+    w = clustered_engine.search(q, k=10, wand=True).collect()
+    e = clustered_engine.search(q, k=10, wand=False).collect()
+    assert [tuple(r) for r in w] == [tuple(r) for r in e]
