@@ -1,0 +1,257 @@
+"""End-to-end parity on the REFERENCE'S OWN golden corpora (r4 verdict #4).
+
+The reference's BM25 query tests hard-code expected doc orders over
+`tests/resources/simple_sequential_order.json` and siblings
+(`bm25_test.cpp:528-600` and onward). Those tests index each JSON string
+value as an exact `string_field` WITHOUT the norm feature, so the scorer
+takes the no-norm BM15 branch (`bm25.cpp:383-385` NeedsNorm()==false ->
+norm_const = k, score = c0 - c0/(1 + tf/k)) — replicated here as
+BM25(b=0.0), which yields the identical c1 = k. Expected orders are
+asserted VERBATIM from the C++ arrays.
+
+The reference reads its resources at test time; we do the same (read-only)
+and skip cleanly if the reference tree is absent.
+
+europarl.subset.txt (delim_doc_generator: one doc per tab-delimited line,
+`doc_generator.cpp:262-296`) provides the real-language corpus goldens:
+build determinism across input partitioning and WAND/exhaustive
+bit-identity on natural text.
+"""
+
+import json
+import os
+import zlib
+
+import pytest
+
+from iresearch_spark.index import build_index
+from iresearch_spark.search import Or, Prefix, SearchEngine, TermF
+from iresearch_spark.search.scorers import BM25
+
+REF = "/root/reference/tests/resources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference resources not available"
+)
+
+# BM15 == the no-norm branch the reference's string_field corpus takes
+# (no norm feature -> norm_const = k, no length normalization)
+BM15 = BM25(b=0.0)
+
+
+def _load(name: str):
+    with open(os.path.join(REF, name), "rb") as fh:
+        return json.load(fh)
+
+
+def _parity_path(seq: int) -> str:
+    """A path whose crc32 segment assignment (segment_expr: crc32 of
+    repo\\0path\\0commit, repo='r' commit='c', % 2) matches seq % 2 — the
+    reference test's even/odd two-segment split — while keeping paths
+    lexicographically ordered by seq (doc ids follow path order)."""
+    for salt in range(64):
+        path = f"{seq:02d}_{salt}"
+        if zlib.crc32(f"r\x00{path}\x00c".encode()) % 2 == seq % 2:
+            return path
+    raise AssertionError("no parity salt found")  # pragma: no cover
+
+
+def _seq_order(engine, filt, k=None):
+    rows = engine.search(filt, k=k).collect()
+    return [int(r["path"].split("_")[0].split(".")[0]) for r in rows]
+
+
+@pytest.fixture(scope="module")
+def order_engine(spark, tmp_path_factory):
+    """simple_sequential_order.json, ONE segment (bm25_test.cpp:528-560
+    add_segment(gen)): each doc's `field` array joined into one token
+    stream — dl = number of values, tf = value multiplicity, exactly the
+    repeated string_field inserts."""
+    docs = _load("simple_sequential_order.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_order"))
+    rows = [
+        ("r", f"{doc['seq']:02d}.json", "c", "json", " ".join(doc["field"]))
+        for doc in docs
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    build_index(spark, spark.createDataFrame(rows, schema), d,
+                num_segments=1)
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+@pytest.fixture(scope="module")
+def order_engine_2seg(spark, tmp_path_factory):
+    """The even/odd two-segment split of bm25_test.cpp:605-660: segment 0
+    holds even seq, segment 1 odd seq (paths salted so the crc32
+    assignment reproduces the reference's segment layout)."""
+    docs = _load("simple_sequential_order.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_order2"))
+    rows = [
+        ("r", _parity_path(doc["seq"]), "c", "json", " ".join(doc["field"]))
+        for doc in docs
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    build_index(spark, spark.createDataFrame(rows, schema), d,
+                num_segments=2)
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def test_by_term_order_golden(order_engine):
+    """bm25_test.cpp test_query by_term: term '7' -> seq {0, 1, 5, 7}
+    (tf 3 > tf 2 > tf 1 ties broken by doc order)."""
+    got = _seq_order(order_engine, TermF(term="7"))
+    assert got == [0, 1, 5, 7]
+
+
+def test_by_term_order_golden_wand_topk(order_engine):
+    """The same golden through the top-k WAND path."""
+    got = _seq_order(order_engine, TermF(term="7"), k=4)
+    assert got == [0, 1, 5, 7]
+
+
+def test_by_term_multi_segment_golden(order_engine_2seg):
+    """bm25_test.cpp 'by term multi-segment, same term': term '6' -> seq
+    {0, 2, 5} — equal scores (tf=1 everywhere, GLOBAL stats), ordered by
+    (segment, doc): evens first."""
+    got = _seq_order(order_engine_2seg, TermF(term="6"))
+    assert got == [0, 2, 5]
+
+
+def test_disjunction_multi_segment_golden(order_engine_2seg):
+    """bm25_test.cpp 'by_term disjunction multi-segment, different terms':
+    Or(term '6', term '8') -> seq {3, 7, 0, 2, 5} — '8' (df=2) out-idfs
+    '6' (df=3); ties by (segment, doc)."""
+    q = Or(
+        children=(
+            TermF(term="6"),
+            TermF(term="8"),
+        )
+    )
+    got = _seq_order(order_engine_2seg, q)
+    assert got == [3, 7, 0, 2, 5]
+
+
+@pytest.fixture(scope="module")
+def sequential_engine_2seg(spark, tmp_path_factory):
+    """simple_sequential.json (32 docs) under the same even/odd split —
+    the by_prefix golden's corpus. String fields 'same' (every doc) and
+    'prefix' (10 docs) are indexed; numbers are stored-only in the
+    reference lambda and stay unindexed here."""
+    docs = _load("simple_sequential.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_seq"))
+    rows = [
+        (
+            "r",
+            _parity_path(doc["seq"]),
+            "c",
+            "json",
+            doc["same"],  # 'content' stands in for the 'same' field
+            doc.get("prefix"),
+        )
+        for doc in docs
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, prefix string"
+    )
+    build_index(
+        spark,
+        spark.createDataFrame(rows, schema),
+        d,
+        num_segments=2,
+        fields=[("content", "code"), ("prefix", "code")],
+    )
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def test_by_prefix_empty_golden(sequential_engine_2seg):
+    """bm25_test.cpp 'by_prefix empty multi-segment': Prefix('') over the
+    'prefix' field -> seq {0,8,20,28, 3,15,23,25, 30,31} — the nine
+    unique-valued docs tie at df=1 (segment-then-doc order), the shared
+    'abcy' pair (df=2, smaller idf) ranks last."""
+    got = _seq_order(
+        sequential_engine_2seg, Prefix(field_name="prefix", prefix="")
+    )
+    assert got == [0, 8, 20, 28, 3, 15, 23, 25, 30, 31]
+
+
+# ---------------------------------------------------------------- europarl
+
+
+@pytest.fixture(scope="module")
+def europarl_rows():
+    rows = []
+    with open(
+        os.path.join(REF, "europarl.subset.txt"), encoding="utf-8"
+    ) as fh:
+        for i, line in enumerate(fh):
+            if i >= 400:
+                break
+            parts = line.rstrip("\n").split("\t")
+            title, date, body = (parts + ["", "", ""])[:3]
+            rows.append(("europarl", f"{i:05d}.txt", date or "c", "txt",
+                         f"{title} {body}"))
+    assert len(rows) == 400
+    return rows
+
+
+def test_europarl_build_determinism(spark, europarl_rows, tmp_path):
+    """Real-language text (delim_doc_generator corpus): identical manifest
+    content hashes regardless of input partitioning — the determinism
+    invariant on the reference's own natural-text corpus."""
+    from iresearch_spark.index import read_manifest
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    hashes = []
+    for parts in (3, 11):
+        d = str(tmp_path / f"idx_euro_{parts}")
+        build_index(
+            spark,
+            spark.createDataFrame(europarl_rows, schema).repartition(parts),
+            d,
+            num_segments=4,
+        )
+        man = read_manifest(d)
+        hashes.append(
+            tuple(sorted((s["segment_id"], s["content_hash"])
+                         for s in man.segments))
+        )
+    assert hashes[0] == hashes[1]
+
+
+def test_europarl_wand_bit_identity(spark, europarl_rows, tmp_path):
+    """WAND == exhaustive on natural-language postings (hot english terms
+    'the'/'of' + a min_match pair) — the synthetic-corpus bit-identity
+    suite re-run on the reference's real text."""
+    from iresearch_spark.search import TermsF
+
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    d = str(tmp_path / "idx_euro_wand")
+    build_index(
+        spark,
+        spark.createDataFrame(europarl_rows, schema),
+        d,
+        num_segments=2,
+    )
+    eng = SearchEngine(spark, d)
+    queries = [
+        TermF(term="european"),
+        Or(children=(TermF(term="the"), TermF(term="european"))),
+        TermsF(terms=("the", "of", "european"), min_match=2),
+    ]
+    for q in queries:
+        w = [tuple(r) for r in eng.search(q, k=10, wand=True).collect()]
+        e = [tuple(r) for r in eng.search(q, k=10, wand=False).collect()]
+        assert w == e, q
