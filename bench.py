@@ -145,6 +145,140 @@ def run_default(sf_dir: str, cpus: int) -> dict:
     return out
 
 
+def run_merge_bench(cpus: int) -> dict:
+    """Consolidation throughput artifact (BENCH_merge.json): build a
+    many-segment synthetic index once, run a tier-policy consolidation to
+    quiescence, and record docs/s, bytes in/out, per-round fan-in — the
+    merge-side analogue of --wand-regimes (`merge_writer.cpp:1862-1890` is
+    the reference's consolidation driver). A second timed merge re-runs the
+    largest fan-in with ``shard_docs``+``hot_term_bytes`` low enough that
+    the hot-term solo buckets AND the giant-term shard escalation both
+    engage, and asserts they did (the plan-audit note)."""
+    import pyspark.sql.functions as F
+
+    from iresearch_spark.corpus import generate_corpus
+    from iresearch_spark.index import read_manifest
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.index.merge import consolidate, merge_segments
+    from iresearch_spark.session import get_spark
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_MERGE_DOCS", "200000"))
+    n_segments = int(os.environ.get("SPARK_GRAFT_MERGE_SEGMENTS", "64"))
+    spark = get_spark("iresearch_merge_bench", cores=cpus)
+
+    src = _fresh_dir("merge_src")
+    generate_corpus(spark, n_docs, num_partitions=4 * cpus).write.parquet(src)
+    corpus = spark.read.parquet(src)
+
+    def fresh_index(tag: str) -> str:
+        d = _fresh_dir(f"merge_{tag}")
+        build_index(spark, corpus, d, num_segments=n_segments)
+        return d
+
+    # ---- tier-policy consolidation to quiescence (timed)
+    d = fresh_index("tier")
+    man0 = read_manifest(d)
+    bytes_in = sum(s["postings_bytes"] for s in man0.segments)
+    t0 = time.perf_counter()
+    recs = consolidate(spark, d, policy="tier")
+    tier_sec = round(time.perf_counter() - t0, 4)
+    man1 = read_manifest(d)
+    docs_merged = sum(r["docs"] for r in recs)
+    out = {
+        "metric": "merge_docs_per_sec",
+        "value": round(docs_merged / tier_sec, 2) if tier_sec else 0.0,
+        "unit": "docs/sec",
+        "docs": n_docs,
+        "segments_in": len(man0.segments),
+        "segments_out": len(man1.segments),
+        "rounds": len(recs),
+        "fan_ins": [r["lineage"]["fan_in"] for r in recs],
+        "docs_merged_total": docs_merged,
+        "postings_bytes_in": bytes_in,
+        "postings_bytes_out": sum(
+            s["postings_bytes"] for s in man1.segments
+        ),
+        "tier_consolidate_sec": tier_sec,
+        "cpus": cpus,
+    }
+    shutil.rmtree(d, ignore_errors=True)
+
+    # ---- full-index merge with the hot-term/shard escalations forced on
+    # (plan audit: HOT_TERMS postings at 200k docs are ~all-docs lists, so
+    # a 1 MB hot threshold puts them in solo buckets and shard_docs splits
+    # their merged blobs into disjoint doc-range rows)
+    d = fresh_index("sharded")
+    man0 = read_manifest(d)
+    seg_ids = [s["segment_id"] for s in man0.segments]
+    t0 = time.perf_counter()
+    rec = merge_segments(
+        spark, d, seg_ids, hot_term_bytes=1 << 20,
+        shard_docs=50_000,
+    )
+    shard_sec = round(time.perf_counter() - t0, 4)
+    seg = spark.read.parquet(f"{d}/segments").filter(
+        F.col("segment_id") == rec["segment_id"]
+    )
+    agg = seg.agg(
+        F.count("*").alias("rows"),
+        F.countDistinct("field", "term").alias("terms"),
+    ).collect()[0]
+    sharded_terms = int(agg["rows"]) - int(agg["terms"])
+    assert sharded_terms > 0, "giant-term shard escalation did not engage"
+    out.update(
+        {
+            "full_merge_fan_in": rec["lineage"]["fan_in"],
+            "full_merge_sec": shard_sec,
+            "full_merge_docs_per_sec": round(rec["docs"] / shard_sec, 2),
+            "sharded_terms": sharded_terms,
+        }
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+    spark.stop()
+    return out
+
+
+def run_codec_bytes(cpus: int) -> dict:
+    """Bytes-per-doc artifact for the posting-block codecs: the same corpus
+    built under varint and packed; records postings bytes + build time for
+    each (the scan-bytes number that dominates 100 TB wall time)."""
+    from iresearch_spark.corpus import generate_corpus
+    from iresearch_spark.index.build import build_index
+    from iresearch_spark.session import get_spark
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_CODEC_DOCS", "200000"))
+    spark = get_spark("iresearch_codec_bytes", cores=cpus)
+    src = _fresh_dir("codec_src")
+    generate_corpus(spark, n_docs, num_partitions=4 * cpus).write.parquet(src)
+    corpus = spark.read.parquet(src)
+    out: dict = {
+        "metric": "postings_bytes_per_doc",
+        "unit": "bytes",
+        "docs": n_docs,
+        "cpus": cpus,
+    }
+    for codec in ("varint", "packed"):
+        d = _fresh_dir(f"codec_{codec}")
+        t0 = time.perf_counter()
+        m = build_index(spark, corpus, d, num_segments=cpus, codec=codec)
+        sec = round(time.perf_counter() - t0, 4)
+        out[codec] = {
+            "postings_bytes": m["postings_bytes"],
+            "bytes_per_doc": round(m["postings_bytes"] / n_docs, 2),
+            "build_sec": sec,
+            "docs_per_sec": round(n_docs / sec, 2),
+        }
+        shutil.rmtree(d, ignore_errors=True)
+    out["value"] = out["packed"]["bytes_per_doc"]
+    out["packed_over_varint"] = round(
+        out["packed"]["postings_bytes"] / out["varint"]["postings_bytes"], 4
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    spark.stop()
+    return out
+
+
 def _scaling_build(cores: int, corpus_path: str, n_parts: int,
                    warmup_docs: int = 0, trials: int = 2) -> tuple[float, int]:
     """Best-of-N warm builds from a pre-materialized corpus table.
@@ -399,11 +533,19 @@ def main() -> None:
                     help="run the query-side N vs 4N experiment")
     ap.add_argument("--wand-regimes", action="store_true",
                     help="record exhaustive-vs-WAND pairs + block skips")
+    ap.add_argument("--merge-bench", action="store_true",
+                    help="record tier-consolidation + sharded-merge throughput")
+    ap.add_argument("--codec-bytes", action="store_true",
+                    help="record varint-vs-packed postings bytes per doc")
     ap.add_argument("--n", type=int, default=8,
                     help="small cluster size N for --scaling (large = 4N)")
     args = ap.parse_args()
 
-    if args.wand_regimes:
+    if args.merge_bench:
+        out = run_merge_bench(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    elif args.codec_bytes:
+        out = run_codec_bytes(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    elif args.wand_regimes:
         out = run_wand_regimes(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     elif args.scaling_query:
         out = run_scaling_query(args.n)

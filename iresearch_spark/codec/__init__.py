@@ -13,3 +13,20 @@ from iresearch_spark.codec.postings import (  # noqa: F401
     encode_span_payloads_batch,
     decode_payloads,
 )
+
+from iresearch_spark.codec import packed as _packed  # noqa: E402
+from iresearch_spark.codec import postings as _varint  # noqa: E402
+
+# Posting-block codec registry (manifest.postings_codec -> module). Both
+# modules expose the same encode/decode surface; the packed decoders
+# require block_offsets (a stored segments column) — varint's ignore it.
+POSTINGS_CODECS = {"varint": _varint, "packed": _packed}
+
+
+def postings_codec(name: str):
+    try:
+        return POSTINGS_CODECS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown postings codec {name!r}; have {sorted(POSTINGS_CODECS)}"
+        ) from None

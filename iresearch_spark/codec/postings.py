@@ -330,8 +330,12 @@ def decode_payloads(
     return out
 
 
-def decode_postings(blob: bytes, docs_count: int) -> tuple[np.ndarray, np.ndarray]:
-    """Decode a full posting list -> (doc_ids int64, freqs int64)."""
+def decode_postings(
+    blob: bytes, docs_count: int, block_offsets: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode a full posting list -> (doc_ids int64, freqs int64).
+    ``block_offsets`` is accepted for signature symmetry with the packed
+    codec and ignored (the varint stream is self-delimiting)."""
     n = int(docs_count)
     if n == 0:
         e = np.empty(0, dtype=np.int64)
@@ -350,12 +354,15 @@ def decode_postings(blob: bytes, docs_count: int) -> tuple[np.ndarray, np.ndarra
 
 
 def decode_postings_many(
-    blobs: list[bytes], docs_counts: np.ndarray
+    blobs: list[bytes],
+    docs_counts: np.ndarray,
+    block_offsets_list: list[np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode MANY posting blobs in one vectorized pass (merge kernel path).
 
     Returns the concatenation ``(doc_ids, freqs)`` across all rows, in row
-    order — the inverse of ``encode_postings_batch``.
+    order — the inverse of ``encode_postings_batch``. ``block_offsets_list``
+    is accepted for signature symmetry with the packed codec and ignored.
     """
     nt = np.ascontiguousarray(docs_counts, dtype=np.int64)
     T = nt.size

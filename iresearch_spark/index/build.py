@@ -180,7 +180,9 @@ HASH_SEGMENTS_SCHEMA = (
 HASH_SEGMENTS_PAY_SCHEMA = HASH_SEGMENTS_SCHEMA + ", pay_lens binary, payloads binary"
 
 
-def _invert_hash_kernel(with_positions: bool, with_spans: bool = False):
+def _invert_hash_kernel(
+    with_positions: bool, with_spans: bool = False, codec: str = "varint"
+):
     """Pure-integer invert: one input row per doc (segment_id, doc_id, dl,
     hs array<long> of per-token hashes) -> one output row per term hash with
     encoded postings. Same math as ``_invert_kernel`` with the term identity
@@ -195,6 +197,9 @@ def _invert_hash_kernel(with_positions: bool, with_spans: bool = False):
 
     schema = HASH_SEGMENTS_PAY_SCHEMA if with_spans else HASH_SEGMENTS_SCHEMA
     cols = [c.split()[0] for c in schema.split(", ")]
+    from iresearch_spark.codec import postings_codec
+
+    encode_doc_blocks = postings_codec(codec).encode_postings_batch
 
     def invert(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -246,7 +251,7 @@ def _invert_hash_kernel(with_positions: bool, with_spans: bool = False):
         tstarts = np.flatnonzero(term_start_mask)
         term_lengths = np.diff(np.append(tstarts, pstarts.size))
 
-        blobs, offs, lasts, maxf, minn = encode_postings_batch(
+        blobs, offs, lasts, maxf, minn = encode_doc_blocks(
             p_docs, freqs, p_dls, term_lengths
         )
         total_tf = np.add.reduceat(freqs, tstarts)
@@ -289,6 +294,7 @@ def make_seg_builder(
     verify_dictionary: bool = True,
     out_partitions: int | None = None,
     column: str | None = None,
+    codec: str = "varint",
 ):
     """Returns seg_builder(sub) -> segments DataFrame (SEGMENTS_SCHEMA).
 
@@ -308,7 +314,9 @@ def make_seg_builder(
     )
     use_jvm = jvm_ok and (not with_payloads or with_spans)
     if not use_jvm:
-        invert = _invert_kernel(analyzer, field, with_positions, with_payloads)
+        invert = _invert_kernel(
+            analyzer, field, with_positions, with_payloads, codec
+        )
         schema = SEGMENTS_PAY_SCHEMA if with_payloads else SEGMENTS_SCHEMA
 
         def build_py(sub: DataFrame) -> DataFrame:
@@ -322,7 +330,9 @@ def make_seg_builder(
 
         return build_py
 
-    invert_h = _invert_hash_kernel(with_positions, with_spans=with_spans)
+    invert_h = _invert_hash_kernel(
+        with_positions, with_spans=with_spans, codec=codec
+    )
     kernel_schema = (
         HASH_SEGMENTS_PAY_SCHEMA if with_spans else HASH_SEGMENTS_SCHEMA
     )
@@ -422,7 +432,7 @@ def make_seg_builder(
 
 def _invert_kernel(
     analyzer_name: str, field: str, with_positions: bool,
-    with_payloads: bool = False,
+    with_payloads: bool = False, codec: str = "varint",
 ):
     """``with_payloads``: the analyzer is a payload analyzer (tokens + per-
     position user bytes, token_attributes.hpp:67-72); positions are implied
@@ -434,6 +444,9 @@ def _invert_kernel(
         if with_payloads
         else get_analyzer(analyzer_name)
     )
+    from iresearch_spark.codec import postings_codec
+
+    encode_doc_blocks = postings_codec(codec).encode_postings_batch
 
     def invert(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -489,7 +502,7 @@ def _invert_kernel(
         dl_lookup[doc_ids] = counts
         p_dls = dl_lookup[p_docs]
 
-        blobs, offs, lasts, maxf, minn = encode_postings_batch(
+        blobs, offs, lasts, maxf, minn = encode_doc_blocks(
             p_docs, freqs, p_dls, term_lengths
         )
         total_tf = np.add.reduceat(freqs, tstarts)
@@ -679,6 +692,7 @@ def build_index(
     fields: list[tuple[str, str]] | None = None,
     sort_by: list[str] | None = None,
     commit_payload: bytes | None = None,
+    codec: str = "varint",
 ) -> dict:
     """Build (or resume) the index; returns build metrics.
 
@@ -689,6 +703,10 @@ def build_index(
     ids ascend by these within each segment.
     ``fail_after_waves`` injects a driver-side failure after N committed waves
     (for the resume test, FIXTURES.md F6).
+    ``codec`` = posting-block codec ("varint" default, or "packed" —
+    bit-packed full blocks, `formats_10.cpp:86-131` analogue); recorded in
+    the manifest, preserved by merge, dispatched on by every decoder. A
+    resume must pass the codec of the original build.
     """
     import glob
     import os
@@ -722,7 +740,7 @@ def build_index(
     plan = _plan_waves(num_segments, waves)
     seg_builder = make_seg_builder(
         spark, analyzer, field, with_positions, jvm_tokenize,
-        verify_dictionary, out_partitions=num_segments,
+        verify_dictionary, out_partitions=num_segments, codec=codec,
     )
     dl_expr = make_dl_expr(analyzer, field)
     extra_fields = [
@@ -730,7 +748,7 @@ def build_index(
             name,
             make_seg_builder(
                 spark, az, name, with_positions, jvm_tokenize,
-                verify_dictionary, out_partitions=num_segments,
+                verify_dictionary, out_partitions=num_segments, codec=codec,
             ),
             make_dl_expr(az, name),
         )
@@ -773,6 +791,7 @@ def build_index(
                     if commit_payload is not None
                     else None
                 ),
+                postings_codec=codec,
             ),
         )
         committed_waves += 1

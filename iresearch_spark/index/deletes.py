@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iresearch_spark.index.build import DOCMETA_SCHEMA
-from iresearch_spark.index.manifest import Manifest, read_manifest, write_manifest
+from iresearch_spark.index.manifest import read_manifest, write_manifest
 
 DELETES_SCHEMA = "segment_id int, doc_id int"
 
@@ -79,19 +79,12 @@ def mark_deleted_rows(
         s = dict(s)
         s["deleted_docs"] = int(counts.get(s["segment_id"], 0))
         segs.append(s)
-    write_manifest(
-        index_dir,
-        Manifest(
-            format_version=man.format_version,
-            num_segments=man.num_segments,
-            field_name=man.field_name,
-            analyzer=man.analyzer,
-            with_positions=man.with_positions,
-            segments=segs,
-            fields=man.fields,
-            sort=man.sort,
-        ),
-    )
+    # replace() carries EVERY manifest attribute forward (a hand-copied
+    # field list silently reset with_payloads/postings_codec on delete
+    # publish, corrupting payload reads / packed decodes)
+    from dataclasses import replace
+
+    write_manifest(index_dir, replace(man, segments=segs))
     return n_new
 
 

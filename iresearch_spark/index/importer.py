@@ -42,15 +42,19 @@ def import_index(
     dst = read_manifest(dst_dir)
     if src is None or dst is None:
         raise FileNotFoundError("both indexes need a manifest")
+    src_codec = getattr(src, "postings_codec", "varint")
+    dst_codec = getattr(dst, "postings_codec", "varint")
     if (
         src.field_specs() != dst.field_specs()
         or src.with_positions != dst.with_positions
         or (src.sort or None) != (dst.sort or None)
+        or src_codec != dst_codec
     ):
         raise ValueError(
-            "incompatible indexes: fields/analyzers/positions/sort differ "
-            f"({src.field_specs()}/sort={src.sort} vs "
-            f"{dst.field_specs()}/sort={dst.sort})"
+            "incompatible indexes: fields/analyzers/positions/sort/codec "
+            f"differ ({src.field_specs()}/sort={src.sort}/"
+            f"codec={src_codec} vs {dst.field_specs()}/sort={dst.sort}/"
+            f"codec={dst_codec})"
         )
 
     base = 1 + max((s["segment_id"] for s in dst.segments), default=-1)
@@ -112,6 +116,7 @@ def import_index(
             sort=dst.sort,
             with_payloads=dst.with_payloads,
             commit_payload=dst.commit_payload,
+            postings_codec=dst_codec,
         ),
     )
     return {"imported": len(src_ids), "mapping": mapping}

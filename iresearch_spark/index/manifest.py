@@ -41,6 +41,10 @@ class Manifest:
     # commit-level user payload (index_writer.cpp:1181-1183 meta payload
     # provider — ArangoDB stores its recovery tick here); base64 of the bytes
     commit_payload: str | None = None
+    # posting-block codec: "varint" (delta+varint) or "packed" (bit-packed
+    # full blocks + varint tail, `formats_10.cpp:86-131` SIMD format
+    # analogue). Decoders dispatch on this; merge preserves it.
+    postings_codec: str = "varint"
 
     def commit_payload_bytes(self) -> bytes | None:
         if self.commit_payload is None:
@@ -71,6 +75,8 @@ class Manifest:
             payload["with_payloads"] = True
         if self.commit_payload is not None:
             payload["commit_payload"] = self.commit_payload
+        if self.postings_codec != "varint":  # legacy manifests stay stable
+            payload["postings_codec"] = self.postings_codec
         return json.dumps(payload, sort_keys=True, separators=(",", ":")) + "\n"
 
 
@@ -172,6 +178,7 @@ def read_manifest(index_dir: str, generation: int | None = None) -> Manifest | N
         sort=d.get("sort"),
         with_payloads=d.get("with_payloads", False),
         commit_payload=d.get("commit_payload"),
+        postings_codec=d.get("postings_codec", "varint"),
     )
 
 

@@ -186,6 +186,9 @@ def merge_segments(
 
     man = read_manifest(index_dir)
     assert man is not None
+    from iresearch_spark.codec import postings_codec
+
+    codec_mod = postings_codec(getattr(man, "postings_codec", "varint"))
     # public API: normalize — remap base offsets accumulate in iteration
     # order, which MUST be ascending segment_id to match merge_bucket's sort
     seg_ids = sorted({int(s) for s in seg_ids})
@@ -245,7 +248,9 @@ def merge_segments(
         )
         fields_arr = pdf["field"].to_numpy(dtype=object)
         counts = pdf["docs_count"].to_numpy(np.int64)
-        docs, freqs = decode_postings_many(list(pdf["postings"]), counts)
+        docs, freqs = codec_mod.decode_postings_many(
+            list(pdf["postings"]), counts, list(pdf["block_offsets"])
+        )
         row_of = np.repeat(np.arange(len(pdf), dtype=np.int64), counts)
         seg_arr = pdf["segment_id"].to_numpy(np.int64)[row_of]
         new_docs = np.zeros(len(docs), dtype=np.int64)
@@ -328,7 +333,7 @@ def merge_segments(
                     exp_meta.append(mi)
             lengths = np.asarray(exp_lengths, dtype=np.int64)
             meta = np.asarray(exp_meta, dtype=np.int64)
-        blobs, offs, lasts, maxf, minn = encode_postings_batch(
+        blobs, offs, lasts, maxf, minn = codec_mod.encode_postings_batch(
             kept_docs, kept_freqs, kept_dls, lengths
         )
         out = {
@@ -613,6 +618,7 @@ def merge_segments(
             sort=man.sort,
             with_payloads=man.with_payloads,
             commit_payload=man.commit_payload,
+            postings_codec=getattr(man, "postings_codec", "varint"),
         ),
     )
     if cleanup:

@@ -193,6 +193,12 @@ class SearchEngine:
         # per-segment packed norms (see norms_blob_df): built once per
         # manifest publish, persisted; invalidated by the stamp check
         self._norms_blob: DataFrame | None = None
+        # serializes the stamp check/reload so a concurrent reader can't
+        # observe a half-reloaded manifest view (long-lived service shape:
+        # queries race publishes — tests/test_concurrent_reader.py)
+        import threading
+
+        self._stamp_lock = threading.Lock()
         self._load_manifest()
         self._manifest_stamp = self._stamp()
 
@@ -207,6 +213,8 @@ class SearchEngine:
         self.manifest = m
         self._seg_ids = sorted(int(s["segment_id"]) for s in m.segments)
         self.field = m.field_name
+        # posting-block codec every decode in this engine dispatches on
+        self._postings_codec = getattr(m, "postings_codec", "varint")
         self.field_stats: dict[str, tuple[int, int]] = {}
         for name, _az in m.field_specs():
             if name == m.field_name:
@@ -233,16 +241,17 @@ class SearchEngine:
         its immutable segment view (point-in-time semantics) but still
         drops caches: the document mask is unversioned, so a delete publish
         must not be served from stale match sets."""
-        stamp = self._stamp()
-        if stamp != self._manifest_stamp:
-            self.clear_proxy_cache()
-            self._stats_cache.clear()
-            if self._norms_blob is not None:
-                self._norms_blob.unpersist()
-                self._norms_blob = None
-            if self.generation is None:
-                self._load_manifest()
-            self._manifest_stamp = stamp
+        with self._stamp_lock:
+            stamp = self._stamp()
+            if stamp != self._manifest_stamp:
+                self.clear_proxy_cache()
+                self._stats_cache.clear()
+                if self._norms_blob is not None:
+                    self._norms_blob.unpersist()
+                    self._norms_blob = None
+                if self.generation is None:
+                    self._load_manifest()
+                self._manifest_stamp = stamp
 
     def _stamp(self) -> tuple:
         """(mtime_ns, size) of the manifest file this engine reads — cheap
@@ -351,6 +360,7 @@ class SearchEngine:
         commit/merge/delete publish rebuilds it, so tombstones are baked
         into the blob of the snapshot they belong to)."""
         self._check_stamp()
+        entry_stamp = self._manifest_stamp
         if self._norms_blob is not None:
             return self._norms_blob
         from pyspark import StorageLevel
@@ -385,7 +395,12 @@ class SearchEngine:
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         blob.count()  # materialize now: later queries only read the cache
-        self._norms_blob = blob
+        if self._manifest_stamp == entry_stamp:
+            self._norms_blob = blob
+        else:
+            # a publish raced the build: serve this (pre-publish) query
+            # from the uncached blob, don't pin the stale snapshot
+            blob.unpersist()
         return blob
 
     def docmeta_df(self) -> DataFrame:
@@ -466,16 +481,17 @@ class SearchEngine:
             )
         import os
 
-        from iresearch_spark.codec import decode_payloads
+        from iresearch_spark.codec import decode_payloads, postings_codec
         from iresearch_spark.index.build import SEGMENTS_PAY_SCHEMA
 
+        cmod = postings_codec(self._postings_codec)
         fld = self._resolve_field(field_name)
         seg = self._seg_filter(
             self.spark.read.schema(SEGMENTS_PAY_SCHEMA)
             .parquet(f"{self.index_dir}/segments")
             .select(
                 "segment_id", "field", "term", "docs_count", "postings",
-                "positions", "pay_lens", "payloads",
+                "block_offsets", "positions", "pay_lens", "payloads",
             )
         ).filter((F.col("field") == fld) & (F.col("term") == term))
 
@@ -488,8 +504,10 @@ class SearchEngine:
                 for r in pdf.itertuples():
                     if r.pay_lens is None:  # field indexed without PAY
                         continue
-                    docs, freqs = decode_postings(
-                        r.postings, int(r.docs_count)
+                    docs, freqs = cmod.decode_postings(
+                        r.postings,
+                        int(r.docs_count),
+                        np.asarray(r.block_offsets, dtype=np.int64),
                     )
                     pos = decode_positions(r.positions, freqs)
                     pay = decode_payloads(r.pay_lens, r.payloads, freqs)
@@ -644,6 +662,7 @@ class SearchEngine:
         # until a merge purges), so validity is the manifest stamp, shared
         # with the proxy cache via _check_stamp.
         self._check_stamp()
+        entry_stamp = self._manifest_stamp
         dfs: dict[tuple[str, str], int] = {}
         matches: list[list[tuple[str, int]]] = [[] for _ in leaves]
         miss_pairs: set[tuple[str, str]] = set()
@@ -697,8 +716,12 @@ class SearchEngine:
             for j, (i, _fld, _leaf) in enumerate(miss_leaves):
                 if r[f"m{j}"]:
                     matches[i].append((r["term"], int(r["df"])))
-        for p in miss_pairs:
-            self._stats_cache[("t",) + p] = dfs[p]
+        # stamp-guarded insert: stats collected under the OLD snapshot must
+        # not land in the cache after a concurrent publish's clear
+        cacheable = self._manifest_stamp == entry_stamp
+        if cacheable:
+            for p in miss_pairs:
+                self._stats_cache[("t",) + p] = dfs[p]
         for i, fld, leaf in miss_leaves:
             if isinstance(leaf, Fuzzy) and leaf.with_transpositions:
                 matches[i] = [
@@ -707,9 +730,10 @@ class SearchEngine:
                     if damerau_levenshtein(t, leaf.term) <= leaf.max_distance
                 ]
             matches[i].sort(key=lambda td: td[0])
-            # store an immutable snapshot so no caller aliasing can
-            # corrupt the cache
-            self._stats_cache[("l", fld, leaf)] = tuple(matches[i])
+            if cacheable:
+                # store an immutable snapshot so no caller aliasing can
+                # corrupt the cache
+                self._stats_cache[("l", fld, leaf)] = tuple(matches[i])
         return dfs, matches
 
     def _bounded_leaf_lookup(
@@ -724,6 +748,7 @@ class SearchEngine:
         bounded scored sample). One Spark job for all missing leaves via a
         union of per-leaf limited aggregates."""
         self._check_stamp()
+        entry_stamp = self._manifest_stamp
         out: dict[tuple[str, Filter], list[tuple[str, int]]] = {}
         miss: list[tuple[str, Filter]] = []
         for key in bounded:
@@ -757,10 +782,12 @@ class SearchEngine:
             }
             for r in reduce(DataFrame.unionAll, parts).collect():
                 got[r["leaf"]].append((r["term"], int(r["df"])))
+            cacheable = self._manifest_stamp == entry_stamp
             for j, key in enumerate(miss):
                 lst = got[j]
                 lst.sort(key=lambda td: (-td[1], td[0]))
-                self._stats_cache[("lb",) + key] = tuple(lst)
+                if cacheable:  # same stamp-guard as _collect_stats
+                    self._stats_cache[("lb",) + key] = tuple(lst)
                 out[key] = list(lst)
         return out
 
@@ -1065,6 +1092,7 @@ class SearchEngine:
                 "scorer": self.scorer,
                 "primary": self.field,
                 "fields": sorted(used_fields),
+                "codec": self._postings_codec,
             },
             needed_terms=needed,
             rest_specs=rest_specs,
@@ -1203,6 +1231,7 @@ class SearchEngine:
         the stamp check here drops every cached match set so deletes are
         never served from a stale proxy."""
         self._check_stamp()
+        entry_stamp = self._manifest_stamp
         key = (repr(f.child), dtype)
         cached = self._proxy_cache.get(key)
         if cached is None:
@@ -1210,7 +1239,17 @@ class SearchEngine:
                 f.child, k=None, wand=False, dtype=dtype, with_identity=False
             ).persist()
             cached.count()  # materialize now so later queries only read
-            self._proxy_cache[key] = cached
+            # insert only if no publish raced the build: a match set
+            # materialized under the OLD snapshot inserted AFTER a
+            # post-publish clear would be served as current forever
+            # (nested _check_stamp calls advance _manifest_stamp, so a
+            # mid-build publish observed anywhere fails this guard; an
+            # unobserved one leaves the stamp stale and the next check
+            # clears the entry — either way no stale serve)
+            if self._manifest_stamp == entry_stamp:
+                self._proxy_cache[key] = cached
+            else:
+                cached.unpersist()  # serve this (pre-publish) query once
         else:
             self.proxy_hits += 1
         out = cached
@@ -1247,6 +1286,9 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
     rest_specs = prep.rest_specs
 
     def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        from iresearch_spark.codec import postings_codec
+
+        cmod = postings_codec(consts.get("codec", "varint"))
         dtype = np.float32 if consts["dtype"] == "float32" else np.float64
         scorer = consts["scorer"]
         primary_field = consts["primary"]
@@ -1314,7 +1356,11 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
             raw_postings and flat_positions so sharded blobs decode once."""
             if key not in shard_cache:
                 shard_cache[key] = [
-                    decode_postings(r.postings, int(r.docs_count))
+                    cmod.decode_postings(
+                        r.postings,
+                        int(r.docs_count),
+                        np.asarray(r.block_offsets, dtype=np.int64),
+                    )
                     for r in rows_by_term.get(key, [])
                 ]
             return shard_cache[key]
@@ -1721,7 +1767,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
                     if bids.size == 0:
                         continue
                     diag["blocks_decoded"] += int(bids.size)
-                    d, f_, _ = decode_blocks(
+                    d, f_, _ = cmod.decode_blocks(
                         r.postings,
                         np.asarray(r.block_offsets, dtype=np.int64),
                         np.asarray(r.last_docs, dtype=np.int64),

@@ -59,6 +59,7 @@ class IncrementalIndexer:
         analyzer: str = "code",
         with_positions: bool = True,
         retain_generations: int | None = None,
+        codec: str | None = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
@@ -66,6 +67,14 @@ class IncrementalIndexer:
         self.field = field
         self.analyzer = analyzer
         self.with_positions = with_positions
+        # posting-block codec: new batches must encode exactly like the
+        # index they append to; default to the existing manifest's codec
+        existing = read_manifest(index_dir)
+        self.codec = codec or (
+            getattr(existing, "postings_codec", "varint")
+            if existing is not None
+            else "varint"
+        )
         # a per-micro-batch publisher is the one writer that accumulates
         # generations without bound; set a rolling window (e.g. 64) to
         # prune old snapshot files each publish. OPT-IN (default None =
@@ -74,7 +83,7 @@ class IncrementalIndexer:
         self.retain_generations = retain_generations
         self._seg_builder = make_seg_builder(
             spark, analyzer, field, with_positions,
-            out_partitions=segments_per_batch,
+            out_partitions=segments_per_batch, codec=self.codec,
         )
 
     # ------------------------------------------------------------ manifest
@@ -88,6 +97,7 @@ class IncrementalIndexer:
                 analyzer=self.analyzer,
                 with_positions=self.with_positions,
                 segments=[],
+                postings_codec=self.codec,
             )
         return m
 
@@ -145,6 +155,7 @@ class IncrementalIndexer:
                 sort=m.sort,
                 with_payloads=m.with_payloads,
                 commit_payload=m.commit_payload,
+                postings_codec=getattr(m, "postings_codec", "varint"),
             ),
         )
         if self.retain_generations:

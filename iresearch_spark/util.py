@@ -52,7 +52,12 @@ class LRUCache:
 
     def __setitem__(self, key, value) -> None:
         if key in self._d:
-            self._d.move_to_end(key)
+            # replacing an existing key must release the displaced value
+            # (two threads double-building the same proxy match set would
+            # otherwise leak the first persisted DataFrame)
+            old = self._d.pop(key)
+            if old is not value and self._on_evict is not None:
+                self._on_evict(key, old)
         self._d[key] = value
         while len(self._d) > self.maxsize:
             k, v = self._d.popitem(last=False)

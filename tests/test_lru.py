@@ -24,13 +24,29 @@ def test_lru_setitem_refreshes_and_clear_fires_on_evict():
     evicted = []
     c = LRUCache(2, on_evict=lambda k, v: evicted.append(k))
     c["a"], c["b"] = 1, 2
-    c["a"] = 10  # overwrite refreshes recency
+    # overwrite refreshes recency AND releases the displaced value — two
+    # threads double-building the same proxy match set must not leak the
+    # first persisted DataFrame (r5 concurrent-reader hardening)
+    c["a"] = 10
+    assert evicted == ["a"]
     c["c"] = 3
-    assert evicted == ["b"]
+    assert evicted == ["a", "b"]
     assert c["a"] == 10
     c.clear()
-    assert sorted(evicted) == ["a", "b", "c"]
+    assert sorted(evicted) == ["a", "a", "b", "c"]
     assert len(c) == 0
+
+
+def test_lru_resetting_same_object_does_not_fire_on_evict():
+    """Re-inserting the IDENTICAL value is a pure recency refresh — firing
+    on_evict would unpersist the DataFrame the cache still holds."""
+    evicted = []
+    c = LRUCache(2, on_evict=lambda k, v: evicted.append(k))
+    val = object()
+    c["a"] = val
+    c["a"] = val
+    assert evicted == []
+    assert c["a"] is val
 
 
 def test_lru_rejects_nonpositive_maxsize():
