@@ -192,7 +192,7 @@ def run_merge_bench(cpus: int) -> dict:
         "segments_in": len(man0.segments),
         "segments_out": len(man1.segments),
         "rounds": len(recs),
-        "fan_ins": [r["lineage"]["fan_in"] for r in recs],
+        "fan_ins": [r["fan_in"] for r in recs],
         "docs_merged_total": docs_merged,
         "postings_bytes_in": bytes_in,
         "postings_bytes_out": sum(
@@ -217,7 +217,7 @@ def run_merge_bench(cpus: int) -> dict:
     )
     shard_sec = round(time.perf_counter() - t0, 4)
     seg = spark.read.parquet(f"{d}/segments").filter(
-        F.col("segment_id") == rec["segment_id"]
+        F.col("segment_id") == rec["new_segment_id"]
     )
     agg = seg.agg(
         F.count("*").alias("rows"),
@@ -227,7 +227,7 @@ def run_merge_bench(cpus: int) -> dict:
     assert sharded_terms > 0, "giant-term shard escalation did not engage"
     out.update(
         {
-            "full_merge_fan_in": rec["lineage"]["fan_in"],
+            "full_merge_fan_in": rec["fan_in"],
             "full_merge_sec": shard_sec,
             "full_merge_docs_per_sec": round(rec["docs"] / shard_sec, 2),
             "sharded_terms": sharded_terms,
