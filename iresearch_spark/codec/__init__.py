@@ -22,6 +22,13 @@ from iresearch_spark.codec import postings as _varint  # noqa: E402
 # require block_offsets (a stored segments column) — varint's ignore it.
 POSTINGS_CODECS = {"varint": _varint, "packed": _packed}
 
+# Default for NEW indexes: bit-packed full blocks (`formats_10.cpp:86-131`
+# SIMD-format analogue) — measured 0.70-0.75x the varint postings bytes on
+# identical corpora with rank-identical results and no kernel-level decode
+# cost (BENCH_codec.json / BASELINE.md round 5). Existing indexes keep the
+# codec recorded in their manifest; resume auto-detects it.
+DEFAULT_CODEC = "packed"
+
 
 def postings_codec(name: str):
     try:

@@ -692,7 +692,7 @@ def build_index(
     fields: list[tuple[str, str]] | None = None,
     sort_by: list[str] | None = None,
     commit_payload: bytes | None = None,
-    codec: str = "varint",
+    codec: str | None = None,
 ) -> dict:
     """Build (or resume) the index; returns build metrics.
 
@@ -703,16 +703,38 @@ def build_index(
     ids ascend by these within each segment.
     ``fail_after_waves`` injects a driver-side failure after N committed waves
     (for the resume test, FIXTURES.md F6).
-    ``codec`` = posting-block codec ("varint" default, or "packed" —
-    bit-packed full blocks, `formats_10.cpp:86-131` analogue); recorded in
-    the manifest, preserved by merge, dispatched on by every decoder. A
-    resume must pass the codec of the original build.
+    ``codec`` = posting-block codec: "packed" (bit-packed full blocks,
+    `formats_10.cpp:86-131` analogue — the default for new indexes) or
+    "varint"; recorded in the manifest, preserved by merge, dispatched on
+    by every decoder. A resume auto-detects the original build's codec
+    from the published manifest and raises if an explicit ``codec``
+    contradicts it (a mixed-codec index would be unreadable); only a
+    build that died before its FIRST commit has no manifest to consult —
+    such a resume of an explicitly non-default-codec build must re-pass
+    the codec.
     """
     import glob
     import os
     import shutil
 
     from pyspark import StorageLevel
+
+    from iresearch_spark.codec import DEFAULT_CODEC
+    from iresearch_spark.index.manifest import read_manifest
+
+    if resume:
+        existing = read_manifest(index_dir)
+        if existing is not None:
+            man_codec = getattr(existing, "postings_codec", "varint")
+            if codec is not None and codec != man_codec:
+                raise ValueError(
+                    f"resume with codec={codec!r} but the index was built "
+                    f"with {man_codec!r}; a segment's postings are only "
+                    "readable under the codec that wrote them"
+                )
+            codec = man_codec
+    if codec is None:
+        codec = DEFAULT_CODEC
 
     t0 = time.time()
     # One shuffle + in-partition sort assigns segment & doc ids; persist so

@@ -69,11 +69,13 @@ class IncrementalIndexer:
         self.with_positions = with_positions
         # posting-block codec: new batches must encode exactly like the
         # index they append to; default to the existing manifest's codec
+        from iresearch_spark.codec import DEFAULT_CODEC
+
         existing = read_manifest(index_dir)
         self.codec = codec or (
             getattr(existing, "postings_codec", "varint")
             if existing is not None
-            else "varint"
+            else DEFAULT_CODEC
         )
         # a per-micro-batch publisher is the one writer that accumulates
         # generations without bound; set a rolling window (e.g. 64) to

@@ -10,6 +10,7 @@ from hypothesis import strategies as st
 
 from iresearch_spark.codec import packed as P
 from iresearch_spark.codec import postings as V
+from iresearch_spark.index import build_index
 
 SCHEMA = (
     "repo string, path string, commit string, lang string, content string"
@@ -203,3 +204,78 @@ def test_delete_publish_preserves_manifest_attrs(spark, tmp_path):
     mark_deleted(spark, d, keys)
     man = read_manifest(d)
     assert man.postings_codec == "packed"
+
+
+# ------------------------------------------------------- default + resume
+
+
+def test_default_codec_is_packed(spark, tmp_path):
+    """New indexes default to the packed codec (round-5 promotion: 0.70x
+    postings bytes at rank identity, BENCH_codec.json)."""
+    from iresearch_spark.codec import DEFAULT_CODEC
+    from iresearch_spark.index import read_manifest
+
+    assert DEFAULT_CODEC == "packed"
+    rows = [("r", f"{i:03d}.py", "c", "py", f"alpha beta doc{i}")
+            for i in range(30)]
+    d = str(tmp_path / "idx_default_codec")
+    build_index(spark, spark.createDataFrame(rows, SCHEMA), d,
+                num_segments=2)
+    assert read_manifest(d).postings_codec == "packed"
+
+
+def test_resume_autodetects_original_codec(spark, tmp_path):
+    """A resume must keep encoding like the index it resumes: the codec is
+    read from the published manifest, NOT from the (new) default — an
+    explicit-varint build interrupted mid-way and resumed without a codec
+    argument stays varint, byte-identical to an uninterrupted varint
+    build."""
+    from iresearch_spark.corpus import generate_corpus
+    from iresearch_spark.index import read_manifest
+    from iresearch_spark.index.manifest import manifest_path
+
+    corpus = generate_corpus(spark, 160, num_partitions=3)
+    d_full = str(tmp_path / "full_varint")
+    d_resume = str(tmp_path / "resumed_varint")
+    build_index(spark, corpus, d_full, num_segments=4, waves=2,
+                codec="varint")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, corpus, d_resume, num_segments=4, waves=2,
+                    codec="varint", fail_after_waves=1)
+    build_index(spark, corpus, d_resume, num_segments=4, waves=2,
+                resume=True)  # no codec= — auto-detected from the manifest
+    assert read_manifest(d_resume).postings_codec == "varint"
+    with open(manifest_path(d_full)) as f1, \
+            open(manifest_path(d_resume)) as f2:
+        assert f1.read() == f2.read()
+
+
+def test_resume_codec_mismatch_raises(spark, tmp_path):
+    """An explicit codec that contradicts the manifest is refused — mixed
+    per-segment codecs inside one index would be unreadable."""
+    from iresearch_spark.corpus import generate_corpus
+
+    corpus = generate_corpus(spark, 120, num_partitions=2)
+    d = str(tmp_path / "mismatch")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_index(spark, corpus, d, num_segments=4, waves=2,
+                    codec="varint", fail_after_waves=1)
+    with pytest.raises(ValueError, match="codec"):
+        build_index(spark, corpus, d, num_segments=4, waves=2,
+                    resume=True, codec="packed")
+
+
+def test_incremental_defaults_to_packed_on_new_index(spark, tmp_path):
+    """A brand-new streaming index picks up the packed default; appended
+    batches keep it (batches must encode exactly like the index they
+    append to)."""
+    from iresearch_spark.index import read_manifest
+    from iresearch_spark.streaming.incremental import IncrementalIndexer
+
+    d = str(tmp_path / "idx_stream_codec")
+    ix = IncrementalIndexer(spark, d, segments_per_batch=2)
+    assert ix.codec == "packed"
+    rows = [("r", f"{i:03d}.py", "c", "py", f"gamma delta doc{i}")
+            for i in range(20)]
+    ix.process_batch(spark.createDataFrame(rows, SCHEMA), batch_id=0)
+    assert read_manifest(d).postings_codec == "packed"
