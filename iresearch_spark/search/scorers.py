@@ -39,12 +39,19 @@ class BM25:
     k: float = 1.2  # bm25.hpp:63
     b: float = 0.75  # bm25.hpp:65
     name: str = "bm25"
+    #: "norm2" | "legacy" | "none" — "none" is the reference's normless
+    #: fallback ("No norms, pretend all fields have the same length 1",
+    #: `bm25.cpp:488-490`): |doc| = 1 for every doc while avg_dl still
+    #: comes from the real field stats — the scorer a reference user gets
+    #: querying a field indexed without the norm feature.
     norm: str = "norm2"
 
     def _dl_eff(self, dls, dtype):
         if self.norm == "legacy":
             stored = (dtype(1.0) / np.sqrt(dls.astype(dtype))).astype(dtype)
             return (dtype(1.0) / stored).astype(dtype)
+        if self.norm == "none":
+            return np.ones(len(dls), dtype=dtype)
         return dls.astype(dtype)
 
     def _tf_eff(self, freqs, dtype):

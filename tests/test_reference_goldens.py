@@ -4,10 +4,13 @@ The reference's BM25 query tests hard-code expected doc orders over
 `tests/resources/simple_sequential_order.json` and siblings
 (`bm25_test.cpp:528-600` and onward). Those tests index each JSON string
 value as an exact `string_field` WITHOUT the norm feature, so the scorer
-takes the no-norm BM15 branch (`bm25.cpp:383-385` NeedsNorm()==false ->
-norm_const = k, score = c0 - c0/(1 + tf/k)) — replicated here as
-BM25(b=0.0), which yields the identical c1 = k. Expected orders are
-asserted VERBATIM from the C++ arrays.
+takes the normless fallback (`bm25.cpp:488-490`: |doc| pretended 1, REAL
+avg_dl from field stats) — our ``BM25(norm="none")``. The equal-tf
+goldens (by_term, multi-segment, prefix) can't distinguish that branch
+from plain BM15 (b=0) and keep the original BM15 engine; the by_range
+goldens further down CAN distinguish (mixed tf + mixed idf) and pin the
+dl=1 branch exactly. Expected orders are asserted VERBATIM from the C++
+arrays.
 
 The reference reads its resources at test time; we do the same (read-only)
 and skip cleanly if the reference tree is absent.
@@ -25,7 +28,14 @@ import zlib
 import pytest
 
 from iresearch_spark.index import build_index
-from iresearch_spark.search import Or, Prefix, SearchEngine, TermF
+from iresearch_spark.search import (
+    Or,
+    Phrase,
+    Prefix,
+    SearchEngine,
+    TermF,
+    TermRange,
+)
 from iresearch_spark.search.scorers import BM25
 
 REF = "/root/reference/tests/resources"
@@ -255,3 +265,90 @@ def test_europarl_wand_bit_identity(spark, europarl_rows, tmp_path):
         w = [tuple(r) for r in eng.search(q, k=10, wand=True).collect()]
         e = [tuple(r) for r in eng.search(q, k=10, wand=False).collect()]
         assert w == e, q
+
+
+# ------------------------------------------------- by_range BM25 goldens
+
+
+@pytest.fixture(scope="module")
+def norm_engine(spark, order_engine):
+    """The same single-segment order index scored by FULL default BM25
+    (k=1.2, b=0.75, Norm2 dl) — the with-norms golden block of
+    bm25_test.cpp:60-230 (irs::BM25{K(), B(), true} with the norm feature
+    installed; the reference's Norm2-branch expectations apply: dl = value
+    count per doc, exactly what our build's token-count dl records)."""
+    return SearchEngine(spark, order_engine.index_dir, scorer=BM25())
+
+
+def test_bm25_norm2_range_excl_incl_golden(norm_engine):
+    """bm25_test.cpp:144 with norms: by_range ('6','8'] -> {7, 3, 0, 1, 5}
+    — idf ('8' rarer than '7') and length normalization both bite."""
+    q = TermRange(min_term="6", max_term="8",
+                  include_min=False, include_max=True)
+    assert _seq_order(norm_engine, q) == [7, 3, 0, 1, 5]
+
+
+def test_bm25_norm2_range_incl_incl_golden(norm_engine):
+    """bm25_test.cpp:196 NORM2 branch: by_range ['6','8'] ->
+    {0, 7, 5, 3, 2, 1} (the legacy-Norm branch expects 7 first; Norm2's
+    integer token-count dl is what our docmeta stores)."""
+    q = TermRange(min_term="6", max_term="8",
+                  include_min=True, include_max=True)
+    assert _seq_order(norm_engine, q) == [0, 7, 5, 3, 2, 1]
+
+
+@pytest.fixture(scope="module")
+def normless_engine(spark, order_engine):
+    """bm25_test.cpp test_query's EXACT scorer: the corpus indexes freq
+    but no norm feature, so `bm25.cpp:488-490` pretends |doc| = 1 while
+    avg_dl still comes from the real field stats — our
+    ``BM25(norm="none")``. (BM15 = b=0 coincides on equal-tf cases but
+    diverges on the [6,8] golden below: b=0 kills the avg_dl term the
+    dl=1 branch keeps.)"""
+    return SearchEngine(
+        spark, order_engine.index_dir, scorer=BM25(norm="none")
+    )
+
+
+def test_normless_range_exclusive_both_golden(normless_engine):
+    """bm25_test.cpp:939 (no-norm corpus): by_range ('6','8') -> only term
+    '7' -> {0, 1, 5, 7}."""
+    q = TermRange(min_term="6", max_term="8",
+                  include_min=False, include_max=False)
+    assert _seq_order(normless_engine, q) == [0, 1, 5, 7]
+
+
+@pytest.mark.parametrize("limit", [0, 1])
+def test_normless_range_scored_terms_limit_golden(normless_engine, limit):
+    """bm25_test.cpp:992: by_range ['8','9') under scored_terms_limit 0
+    and 1 -> {3, 7} either way."""
+    q = TermRange(min_term="8", max_term="9",
+                  include_min=True, include_max=False,
+                  scored_terms_limit=limit)
+    assert _seq_order(normless_engine, q) == [3, 7]
+
+
+def test_normless_range_excl_incl_golden(normless_engine):
+    """bm25_test.cpp:1044: by_range ('6','8'] -> {7, 3, 0, 1, 5} — tf
+    saturation lets doc 3's rarer '8' outrank doc 0's tf=3 of '7'
+    (TFIDF's sqrt(tf) orders these [7,0,1,3,5]; the divergence pins the
+    saturating branch)."""
+    q = TermRange(min_term="6", max_term="8",
+                  include_min=False, include_max=True)
+    assert _seq_order(normless_engine, q) == [7, 3, 0, 1, 5]
+
+
+def test_normless_range_incl_incl_golden(normless_engine):
+    """bm25_test.cpp:1095: by_range ['6','8'] -> {7, 0, 5, 3, 2, 1} — the
+    one golden that separates the dl=1 fallback from plain BM15: under
+    b=0 doc 0's tf=3 of '7' would overtake doc 7's rarer '8', and doc 1
+    (tf=2) would overtake doc 2's single rarer '6'."""
+    q = TermRange(min_term="6", max_term="8",
+                  include_min=True, include_max=True)
+    assert _seq_order(normless_engine, q) == [7, 0, 5, 3, 2, 1]
+
+
+def test_normless_phrase_single_slot_golden(normless_engine):
+    """bm25_test.cpp:1143: by_phrase of the single slot '7' ->
+    {0, 1, 5, 7}."""
+    assert _seq_order(normless_engine, Phrase(terms=("7",))) == [0, 1, 5, 7]
