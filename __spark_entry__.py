@@ -838,6 +838,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ft_fuzzy_transpose",
     ):
         q[name] = q.pop(name)
+
+    # normless fallback (bm25.cpp:488-490): |doc| pretended 1, avg_dl from
+    # the REAL field stats — the scorer a reference user gets querying a
+    # field indexed without the norm feature. Past-window (variant of the
+    # in-window BM25 family), oracled + locally verified.
+    def ft_bm25_normless(s, d):
+        from iresearch_spark.search import BM25, SearchEngine
+
+        base = _engine(s, d)
+        eng = SearchEngine(s, base.index_dir, scorer=BM25(norm="none"))
+        res = eng.search(TermF(term="spark"), k=None, dtype="float64")
+        return res.select(
+            F.col("path").cast("int").alias("doc_id"),
+            F.round(F.col("score"), 4).alias("score"),
+        )
+
+    q["ft_bm25_normless"] = ft_bm25_normless
     return q
 
 
@@ -1039,6 +1056,35 @@ SELECT tf.doc_id,
        round((2.2 * ln(1.0 + ((s.n - f.df) + 0.5) / (f.df + 0.5)))
              * (1.0 - 1.2 / (1.2 + tf.tf)), 4) AS score
 FROM tf CROSS JOIN stats s CROSS JOIN df f
+"""
+    # normless fallback (bm25.cpp:488-490): c1 uses dl=1 but the REAL
+    # avgdl — constant per corpus, unlike BM15's c1 = k
+    o["ft_bm25_normless"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT count(*)::DOUBLE AS n,
+         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term = 'spark' GROUP BY doc_id
+),
+df AS (SELECT count(*) AS df FROM tf)
+SELECT tf.doc_id,
+       round(
+         (2.2 * ln(1.0 + ((s.n - f.df) + 0.5) / (f.df + 0.5)))
+         * (1.0
+            - ((1.2 - 1.2 * 0.75) + (1.2 * 0.75 / s.avgdl) * 1.0)
+              / (((1.2 - 1.2 * 0.75) + (1.2 * 0.75 / s.avgdl) * 1.0)
+                 + tf.tf)),
+         4) AS score
+FROM tf
+CROSS JOIN stats s CROSS JOIN df f
 """
     # legacy Norm (bm25.hpp:38-43): tf -> sqrt(tf), |doc| -> sqrt(dl)
     o["ft_bm25_legacy_norm"] = f"""
