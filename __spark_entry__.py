@@ -741,8 +741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # makes signatures, band keys, candidate pairs and estimates exactly
     # reproducible in DuckDB SQL, so these three are fully oracled (the
     # faster SipHash default stays pytest-gated in tests/test_pipeline.py)
+    # collapse=True: the documents table is duplicate-heavy by construction,
+    # so skip the distinct-signature detection job and go straight to the
+    # group collapse (a pure plan hint — identical pairs in every mode)
     q["dedup_minhash_lsh"] = lambda s, d: minhash_lsh_pairs(
-        _docs(s, d), 64, 16, 0.05, hash_mode="md5"
+        _docs(s, d), 64, 16, 0.05, hash_mode="md5", collapse=True
     )
     q["dedup_simhash"] = lambda s, d: simhash_signatures(
         _docs(s, d), hash_mode="md5"

@@ -290,6 +290,7 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     hash_mode: str = "sip",
     expand: str = "pairs",
+    collapse: object = "auto",
 ) -> DataFrame:
     """MinHash signatures + banded LSH candidate pairs with estimated Jaccard.
 
@@ -322,10 +323,26 @@ def minhash_lsh_pairs(
     28-bit birthday collisions, every product < 2^62) — bit-exact
     reproducible in DuckDB SQL (the driver's oracle twin); "sip" is the
     faster default.
+
+    ``collapse`` is a pure plan hint — every mode returns identical pairs:
+
+    - ``"auto"`` (default): one cheap aggregate decides; corpora without
+      duplicate signatures skip the group shuffle entirely.
+    - ``True``: collapse unconditionally, skipping the detection job — the
+      right call when the corpus is known duplicate-heavy (a dedup corpus
+      usually is), refunding one job wave per run.
+    - ``False``: never collapse (the band join still finds identical
+      signatures — they collide in every band — so results are unchanged,
+      but candidate generation is O(g^2 * bands) per duplicate group; only
+      for corpora known to be duplicate-free).
     """
     assert num_hashes % bands == 0
     if expand not in ("pairs", "star"):
         raise ValueError(f"expand must be 'pairs' or 'star', got {expand!r}")
+    if collapse not in ("auto", True, False):
+        raise ValueError(
+            f"collapse must be 'auto', True or False, got {collapse!r}"
+        )
     r = num_hashes // bands
     if hash_mode == "md5":
         A, B = md5_minhash_constants(num_hashes)
@@ -409,11 +426,14 @@ def minhash_lsh_pairs(
     from pyspark.sql import Window
 
     sig_df = sig_df.persist()
-    stats = sig_df.agg(
-        F.count("*").alias("n"),
-        F.countDistinct(F.xxhash64("sig")).alias("d"),
-    ).collect()[0]
-    if stats["d"] == stats["n"]:
+    do_collapse = collapse
+    if collapse == "auto":
+        stats = sig_df.agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.xxhash64("sig")).alias("d"),
+        ).collect()[0]
+        do_collapse = stats["d"] != stats["n"]
+    if not do_collapse:
         # every doc is its own representative; the within-group expansion
         # below is vacuously empty under n_members == 1
         mem = sig_df.withColumn("rep", F.col("doc_id")).withColumn(

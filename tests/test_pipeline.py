@@ -125,6 +125,25 @@ def test_minhash_pairs_identical_group_no_quadratic_candidates(spark):
     assert elapsed < 60, f"took {elapsed:.0f}s — quadratic stage suspected"
 
 
+def test_minhash_collapse_modes_identical_pairs(docs_df):
+    """collapse is a pure plan hint: 'auto' (aggregate decides), True
+    (unconditional collapse, no detection job) and False (pre-collapse
+    plan — identical signatures still collide in every band) must all
+    return exactly the same pairs on a corpus WITH duplicate signatures."""
+
+    def canon(df):
+        pdf = df.toPandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        return list(map(tuple, pdf[["doc_a", "doc_b", "est_jaccard"]].values))
+
+    auto = canon(minhash_lsh_pairs(docs_df, 64, 16, 0.5))
+    forced = canon(minhash_lsh_pairs(docs_df, 64, 16, 0.5, collapse=True))
+    off = canon(minhash_lsh_pairs(docs_df, 64, 16, 0.5, collapse=False))
+    assert auto == forced == off
+    assert len(auto) > 0  # the planted duplicates are found in every mode
+    with pytest.raises(ValueError):
+        minhash_lsh_pairs(docs_df, 64, 16, 0.5, collapse="yes")
+
+
 def test_minhash_pairs_star_same_components_as_pairs(docs_df):
     """star expansion must produce the same connected components (dedup
     clusters) as full pair expansion, and pairs mode must emit every
