@@ -112,7 +112,10 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "dedup_ngram_jaccard", "text_token_stats", "text_winnowing",
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     ]
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    # min-of-4 warm: one extra trial per query costs ~20 s total and
+    # meaningfully hardens the recorded min against the documented 2-3x
+    # run-to-run host noise (CLAUDE.md / BASELINE.md protocol notes)
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
     q_times: dict[str, float] = {}
     for name in headline:
         if name not in qs:
