@@ -112,16 +112,19 @@ def run_default(sf_dir: str, cpus: int) -> dict:
         "dedup_ngram_jaccard", "text_token_stats", "text_winnowing",
         "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     ]
-    # min-of-4 warm: one extra trial per query costs ~20 s total and
-    # meaningfully hardens the recorded min against the documented 2-3x
-    # run-to-run host noise (CLAUDE.md / BASELINE.md protocol notes)
+    # min-of-4 warm, trials INTERLEAVED round-robin across queries: running
+    # a query's trials back-to-back lets one multi-second hypervisor noise
+    # episode poison every trial of that one query (observed: a query whose
+    # interleaved floor is 0.55 s recorded 0.95 s when its 4 consecutive
+    # trials landed inside a noise burst, while its neighbors read clean).
+    # Round-robin passes decorrelate the trials at identical total cost.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "4"))
-    q_times: dict[str, float] = {}
-    for name in headline:
-        if name not in qs:
-            continue
-        fn = qs[name]
-        q_times[name] = _time_best(lambda: fn(spark, sf_dir).count(), trials)
+    fns = [(name, qs[name]) for name in headline if name in qs]
+    samples: dict[str, list[float]] = {name: [] for name, _ in fns}
+    for _pass in range(max(1, trials)):
+        for name, fn in fns:
+            samples[name].append(_time(lambda: fn(spark, sf_dir).count()))
+    q_times = {name: round(min(ts), 4) for name, ts in samples.items()}
 
     total = round(build_sec + sum(q_times.values()), 4)
     out = {
