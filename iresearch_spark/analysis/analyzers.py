@@ -40,8 +40,21 @@ def code_analyzer(s: pd.Series) -> pd.Series:
     return s.fillna("").str.lower().str.findall(CODE_TOKEN_PATTERN)
 
 
+def _blank_nulls(toks: pd.Series, mask: pd.Series) -> pd.Series:
+    """NULL input = absent field: emit NO token (the reference indexes
+    nothing for a document that lacks the field — a whole-value analyzer
+    must not turn NULL into an empty-string term, or missing-field docs
+    match Wildcard('%')/exists over the field). An actual empty string
+    value still indexes the empty term."""
+    if mask.any():
+        toks = toks.copy()
+        toks[mask] = pd.Series([[] for _ in range(int(mask.sum()))],
+                               index=toks.index[mask])
+    return toks
+
+
 def identity_analyzer(s: pd.Series) -> pd.Series:
-    return s.fillna("").map(lambda x: [x])
+    return _blank_nulls(s.fillna("").map(lambda x: [x]), s.isna())
 
 
 def norm_lower_analyzer(
@@ -49,7 +62,9 @@ def norm_lower_analyzer(
 ) -> pd.Series:
     """Whole input -> one normalized token
     (`text_token_normalizing_stream.cpp`): case = lower|upper|none;
-    ``accent=False`` strips accents (the reference's accent option)."""
+    ``accent=False`` strips accents (the reference's accent option);
+    NULL input -> no token (absent field)."""
+    mask = s.isna()
     out = s.fillna("")
     if case == "lower":
         out = out.str.lower()
@@ -59,7 +74,7 @@ def norm_lower_analyzer(
         from iresearch_spark.analysis.stem import strip_accents
 
         out = out.map(strip_accents)
-    return out.map(lambda x: [x])
+    return _blank_nulls(out.map(lambda x: [x]), mask)
 
 
 def delimiter_analyzer(s: pd.Series, delimiter: str = ",") -> pd.Series:
@@ -260,8 +275,9 @@ def collation_analyzer(s: pd.Series, locale: str = "en") -> pd.Series:
         import icu  # PyICU, optional
 
         coll = icu.Collator.createInstance(icu.Locale(locale))
-        return s.fillna("").map(
-            lambda x: [coll.getSortKey(x).hex()]
+        return _blank_nulls(
+            s.fillna("").map(lambda x: [coll.getSortKey(x).hex()]),
+            s.isna(),
         )
     except ImportError:
         # the simplified primary key IS norm(lower, accent-strip) — one code

@@ -154,10 +154,15 @@ def make_dl_expr(analyzer: str, column: str = "content"):
         return dl_pay_udf(F.col(column))
     fn = get_analyzer(analyzer)
     # no string coalesce for null-sensitive analyzers: `numeric` (non-object
-    # dtype, naturally skipped), and `boolean`/`null` whose whole job is to
+    # dtype, naturally skipped), `boolean`/`null` whose whole job is to
     # distinguish NULL from a value (a bool column with NULLs arrives as
-    # object dtype, so the fillna('') would mask them)
-    fill_nulls = analyzer not in ("boolean", "null")
+    # object dtype, so the fillna('') would mask them), and the whole-value
+    # analyzers (identity/norm/collation) where NULL = absent field = zero
+    # tokens — a fillna here would count a phantom empty-string token and
+    # corrupt the Norm2 dl for missing-field docs
+    fill_nulls = analyzer not in (
+        "boolean", "null", "identity", "norm", "collation"
+    )
 
     @F.pandas_udf("int")
     def dl_udf(s: pd.Series) -> pd.Series:

@@ -139,3 +139,23 @@ def test_norm_case_and_accent_options():
     assert out == [["CREME BRULEE"]]
     out2 = norm_lower_analyzer(pd.Series(["AbC"]), case="none").tolist()
     assert out2 == [["AbC"]]
+
+
+def test_whole_value_analyzers_null_is_absent_field():
+    """NULL input = absent field = NO token for the whole-value analyzers
+    (the reference indexes nothing for a doc that lacks the field,
+    `wildcard_filter_test.cpp` simple_sequential goldens); an actual empty
+    string value still indexes the empty term. The dl twin in
+    make_dl_expr exempts these analyzers from the fillna('') coalesce so
+    the Norm2 dl counts 0 for missing-field docs — keep both in sync."""
+    from iresearch_spark.analysis.analyzers import (
+        collation_analyzer,
+        identity_analyzer,
+        norm_lower_analyzer,
+    )
+
+    s = pd.Series(["abc", None, ""])
+    for fn in (identity_analyzer, norm_lower_analyzer, collation_analyzer):
+        toks = fn(s)
+        assert toks.tolist()[1] == [], fn.__name__
+        assert toks.str.len().tolist() == [1, 0, 1], fn.__name__

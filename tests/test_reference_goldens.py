@@ -352,3 +352,156 @@ def test_normless_phrase_single_slot_golden(normless_engine):
     """bm25_test.cpp:1143: by_phrase of the single slot '7' ->
     {0, 1, 5, 7}."""
     assert _seq_order(normless_engine, Phrase(terms=("7",))) == [0, 1, 5, 7]
+
+
+# ------------------------------------------------- wildcard (utf8 corpus)
+
+
+@pytest.fixture(scope="module")
+def utf8_engine(spark, tmp_path_factory):
+    """simple_sequential_utf8.json (32 docs, one segment) with the string
+    fields indexed under the identity analyzer — the reference indexes
+    them as untokenized string_field values
+    (`wildcard_filter_test.cpp:354-362`, generic_json_field_factory), so
+    each value is exactly one term and the LIKE pattern semantics
+    (including backslash escapes and multi-byte UTF-8) are exercised on
+    reference-identical term bytes."""
+    from iresearch_spark.search import Wildcard  # noqa: F401 (fixture doc)
+
+    docs = _load("simple_sequential_utf8.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_utf8"))
+    rows = [
+        (
+            "r",
+            f"{doc['seq']:02d}.json",
+            "c",
+            "json",
+            doc.get("same"),  # content: carries the manifest content hash
+            doc.get("name"),
+            doc.get("same"),
+            doc.get("duplicated"),
+            doc.get("prefix"),
+            doc.get("utf8"),
+        )
+        for doc in docs
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, name string, same string, duplicated string, "
+        "prefix string, utf8 string"
+    )
+    build_index(
+        spark,
+        spark.createDataFrame(rows, schema),
+        d,
+        num_segments=1,
+        fields=[
+            ("name", "identity"),
+            ("same", "identity"),
+            ("duplicated", "identity"),
+            ("prefix", "identity"),
+            ("utf8", "identity"),
+        ],
+    )
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def _seq_set(engine, filt):
+    rows = engine.search(filt, k=None).collect()
+    return {int(r["path"].split(".")[0]) for r in rows}
+
+
+def test_wildcard_match_all_goldens(utf8_engine):
+    """wildcard_filter_test.cpp:380-401 'match all': every pattern below
+    matches all 32 docs' same='xyz'."""
+    from iresearch_spark.search import Wildcard
+
+    everyone = set(range(32))
+    for pat in ("%", "___", "%_", "_%", "x_%", "__z", "%_z", "x%_",
+                "x_z", "x%z", "_yz", "%yz", "xyz", "xyz%"):
+        got = _seq_set(utf8_engine, Wildcard(field_name="same", pattern=pat))
+        assert got == everyone, pat
+
+
+def test_wildcard_match_nothing_goldens(utf8_engine):
+    """wildcard_filter_test.cpp:404-408 + invalid field/prefix rows: the
+    escaped-wildcard patterns are literal and match nothing; '_' cannot
+    match a 3-char value; NULL field values index NO term, so the empty
+    pattern matches nothing. The reference returns empty for an unknown
+    field (schemaless model); this engine is schema-aware and raises — a
+    deliberate, pinned divergence."""
+    from iresearch_spark.search import Wildcard
+
+    for field, pat in (
+        ("prefix", r"ab\%"),
+        ("same", r"x\_z"),
+        ("same", r"x\%z"),
+        ("same", "_"),
+        ("duplicated", ""),
+        ("same", "xyz_invalid%"),
+    ):
+        got = _seq_set(utf8_engine, Wildcard(field_name=field, pattern=pat))
+        assert got == set(), (field, pat)
+    with pytest.raises(KeyError):
+        _seq_set(utf8_engine, Wildcard(field_name="same1", pattern="xyz%"))
+
+
+def test_wildcard_escape_goldens(utf8_engine):
+    """wildcard_filter_test.cpp:410-434: backslash escape semantics on
+    prefix values J=r'ab\\%' and K=r'ab\\\\%' — escaped-backslash+wildcard
+    hits both, escaped-backslash+escaped-%% hits J only, two escaped
+    backslashes+wildcard hits K only (doc ids 10/11 -> seq 9/10)."""
+    from iresearch_spark.search import Wildcard
+
+    cases = [
+        (r"ab\\%", {9, 10}),
+        (r"ab\\\%", {9}),
+        (r"ab\\\\%", {10}),
+    ]
+    for pat, want in cases:
+        got = _seq_set(utf8_engine, Wildcard(field_name="prefix", pattern=pat))
+        assert got == want, pat
+
+
+def test_wildcard_pattern_set_goldens(utf8_engine):
+    """wildcard_filter_test.cpp:447-509: the hard-coded match sets over
+    'duplicated', 'prefix' and 'name' (reference doc ids are 1-based
+    insertion order; seq = id - 1)."""
+    from iresearch_spark.search import Wildcard
+
+    cases = [
+        ("duplicated", "v_z%", {1, 2, 7, 13, 16, 18, 23}),
+        ("duplicated", "v%c", {1, 2, 7, 13, 16, 18, 23}),
+        ("duplicated", "v%%%%%c", {1, 2, 7, 13, 16, 18, 23}),
+        ("duplicated", "%c", {1, 2, 7, 13, 16, 18, 23}),
+        ("duplicated", "%_c", {1, 2, 7, 13, 16, 18, 23}),
+        ("duplicated", "vcz%", {1, 2, 7, 13, 16, 18, 23}),
+        ("duplicated", "vcz%%%%%", {1, 2, 7, 13, 16, 18, 23}),
+        ("duplicated", "a%", {0, 4, 10, 20, 26, 30}),
+        ("prefix", "%c%", {0, 3, 8, 20, 25, 30, 31}),
+        ("prefix", "%%c%%", {0, 3, 8, 20, 25, 30, 31}),
+        ("prefix", "b%", {8, 23}),
+        ("prefix", "abc%", {0, 3, 20, 25, 30, 31}),
+        ("prefix", "a%d%", {0, 3, 15, 25}),
+        ("name", "!%", {27}),
+    ]
+    for field, pat, want in cases:
+        got = _seq_set(utf8_engine, Wildcard(field_name=field, pattern=pat))
+        assert got == want, (field, pat)
+
+
+def test_wildcard_utf8_goldens(utf8_engine):
+    """wildcard_filter_test.cpp:512-528: multi-byte UTF-8 patterns —
+    '%й' matches 'пуй' (seq 0) and 'вий' (seq 25); 'в%й' matches 'вий'
+    only."""
+    from iresearch_spark.search import Wildcard
+
+    cases = [
+        ("%й", {0, 25}),
+        ("%%й", {0, 25}),
+        ("в%й", {25}),
+        ("в%%й", {25}),
+    ]
+    for pat, want in cases:
+        got = _seq_set(utf8_engine, Wildcard(field_name="utf8", pattern=pat))
+        assert got == want, pat
