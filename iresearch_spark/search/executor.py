@@ -61,6 +61,7 @@ from iresearch_spark.search.filters import (
     Filter,
     Fuzzy,
     damerau_levenshtein,  # noqa: F401 (re-export for callers)
+    levenshtein,
 )
 from iresearch_spark.search.numeric import GranularRange as GranularRangeF
 from iresearch_spark.search.filters import (
@@ -606,9 +607,26 @@ class SearchEngine:
             lev_cap = leaf.max_distance * (
                 2 if leaf.with_transpositions else 1
             )
+            # Options::prefix (levenshtein_filter.hpp:60-66): the automaton
+            # is built over prefix+term, so matched terms carry the prefix
+            # verbatim and the distance applies to the remainder — here the
+            # startswith prune plus the same preds over the suffix
+            npfx = len(leaf.prefix)
+            if npfx:
+                rest = F.col("term").substr(
+                    F.lit(npfx + 1), F.length("term")
+                )
+                rest_len = F.length("term") - npfx
+            else:
+                rest = F.col("term")
+                rest_len = F.length("term")
             length_pred = (
-                F.length("term") >= len(q) - leaf.max_distance
-            ) & (F.length("term") <= len(q) + leaf.max_distance)
+                rest_len >= len(q) - leaf.max_distance
+            ) & (rest_len <= len(q) + leaf.max_distance)
+            if npfx:
+                length_pred = (
+                    F.col("term").startswith(leaf.prefix) & length_pred
+                )
             # Alignment prefilter standing in for the reference's parametric
             # Levenshtein-automaton ∩ FST walk (levenshtein_filter.cpp:
             # 137-263), which only touches feasible dictionary prefixes.
@@ -623,19 +641,17 @@ class SearchEngine:
             # (the overwhelming majority of a big dictionary) never reach
             # the Levenshtein DP at all.
             branches = [
-                F.substring("term", j + 1, 1).isin(
+                F.substring(rest, j + 1, 1).isin(
                     sorted(set(q[: j + lev_cap + 1]))
                 )
                 for j in range(lev_cap + 1)
             ]
             # terms shorter than cap+1 chars can be all-edits: let them
             # through to the exact check
-            prefilter = (F.length("term") <= lev_cap) | reduce(or_, branches)
+            prefilter = (rest_len <= lev_cap) | reduce(or_, branches)
             # banded DP: threshold arg makes levenshtein O(cap*len) and
             # early-exits with -1 past the cap, instead of the full O(len^2)
-            lev_ok = (
-                F.levenshtein(F.col("term"), F.lit(q), lev_cap) > -1
-            )
+            lev_ok = F.levenshtein(rest, F.lit(q), lev_cap) > -1
             return length_pred & prefilter & lev_ok
         raise TypeError(leaf)  # pragma: no cover
 
@@ -724,10 +740,12 @@ class SearchEngine:
                 self._stats_cache[("t",) + p] = dfs[p]
         for i, fld, leaf in miss_leaves:
             if isinstance(leaf, Fuzzy) and leaf.with_transpositions:
+                npfx = len(leaf.prefix)
                 matches[i] = [
                     (t, df_)
                     for t, df_ in matches[i]
-                    if damerau_levenshtein(t, leaf.term) <= leaf.max_distance
+                    if damerau_levenshtein(t[npfx:], leaf.term)
+                    <= leaf.max_distance
                 ]
             matches[i].sort(key=lambda td: td[0])
             if cacheable:
@@ -909,16 +927,40 @@ class SearchEngine:
             fld = self._resolve_field(leaf.field_name)
             if isinstance(leaf, Fuzzy):
                 # Fuzzy expands driver-side: the automaton bounds the match
-                # set, and exact Damerau post-filtering needs the strings
+                # set, and exact Damerau post-filtering needs the strings.
+                # UNLIKE the sampled multi-term leaves, a positive
+                # scored_terms_limit RESTRICTS the match set: the reference
+                # routes by_edit_distance through top_terms_collector
+                # (levenshtein_filter.cpp:196-221), keeping only the best
+                # `limit` terms by (similarity boost, term bytes) — larger
+                # wins both — where boost = 1 - d/min(|term|, |target|)
+                # (:47-53, :160-162) and target = prefix+term (:178-180).
+                # Every kept term is scored; limit=0 keeps all.
                 matched = list(leaf_terms(fld, leaf))
-                # scored_terms_limit: top-N by docs_count get scored, the
-                # rest become an unscored doc-set
-                # (limited_sample_collector.hpp:45-244)
-                matched.sort(key=lambda td: (-td[1], td[0]))
                 limit = leaf.scored_terms_limit
-                tids = []
-                for rank, (t, df) in enumerate(matched):
-                    tids.append(add_instance(fld, t, df, boost, rank < limit))
+                if limit and len(matched) > limit:
+                    dist_fn = (
+                        damerau_levenshtein
+                        if leaf.with_transpositions
+                        else levenshtein
+                    )
+                    npfx = len(leaf.prefix)
+                    target_size = max(1, npfx + len(leaf.term))
+
+                    def _boost(t: str) -> float:
+                        d = dist_fn(t[npfx:], leaf.term)
+                        return 1.0 - d / max(1, min(len(t), target_size))
+
+                    matched.sort(
+                        key=lambda td: (_boost(td[0]), td[0].encode()),
+                        reverse=True,
+                    )
+                    matched = matched[:limit]
+                matched.sort(key=lambda td: (-td[1], td[0]))
+                tids = [
+                    add_instance(fld, t, df, boost, True)
+                    for t, df in matched
+                ]
                 if not tids:
                     return {"op": "empty"}
                 return {"op": "terms", "tids": tids, "min_match": 1}

@@ -98,13 +98,35 @@ class TermRange(Filter):
 class Fuzzy(Filter):
     """by_edit_distance: Levenshtein <= max_distance (levenshtein_filter);
     ``with_transpositions`` switches to Damerau-Levenshtein (adjacent swap
-    counts 1, `core/search/levenshtein_filter.hpp:67`)."""
+    counts 1, `core/search/levenshtein_filter.hpp:67`). ``prefix`` is the
+    reference's Options::prefix (`levenshtein_filter.hpp:60-66`): matched
+    terms must start with it verbatim and the edit distance applies to the
+    remainder only. Unlike Prefix/Wildcard/TermRange (whose unscored rest
+    still matches), a positive ``scored_terms_limit`` RESTRICTS the match
+    set to the top-N terms by (similarity boost, term bytes) — the
+    reference's top_terms_collector (`levenshtein_filter.cpp:196-221`);
+    0 = match every term the automaton accepts."""
 
     field_name: str = "content"
     term: str = ""
     max_distance: int = 1
     scored_terms_limit: int = 1024
     with_transpositions: bool = False
+    prefix: str = ""
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain Levenshtein distance (no transpositions) — the boost input of
+    `levenshtein_filter.cpp:47-53` similarity()."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 
 def damerau_levenshtein(a: str, b: str) -> int:

@@ -505,3 +505,116 @@ def test_wildcard_utf8_goldens(utf8_engine):
     for pat, want in cases:
         got = _seq_set(utf8_engine, Wildcard(field_name="utf8", pattern=pat))
         assert got == want, pat
+
+
+# ----------------------------------------- by_edit_distance (levenshtein)
+
+
+@pytest.fixture(scope="module")
+def lev_engine(spark, tmp_path_factory):
+    """levenshtein_sequential.json (34 docs, one segment), field 'title'
+    under the identity analyzer — the corpus of
+    `levenshtein_filter_test.cpp` test_filter (:328-518); reference doc
+    ids are 1-based insertion order, seq = id - 1."""
+    docs = _load("levenshtein_sequential.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_lev"))
+    rows = [
+        ("r", f"{doc['seq']:02d}.json", "c", "json", doc["title"],
+         doc["title"])
+        for doc in docs
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, title string"
+    )
+    build_index(spark, spark.createDataFrame(rows, schema), d,
+                num_segments=1, fields=[("title", "identity")])
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def _fz(term, dist, limit=1024, transpose=False, prefix=""):
+    from iresearch_spark.search import Fuzzy
+
+    return Fuzzy(field_name="title", term=term, max_distance=dist,
+                 scored_terms_limit=limit, with_transpositions=transpose,
+                 prefix=prefix)
+
+
+def test_edit_distance_match_set_goldens(lev_engine):
+    """levenshtein_filter_test.cpp:375-440 — plain Levenshtein match sets
+    at distances 0-4 (limit 1024 and 0 agree everywhere here)."""
+    cases = [
+        (_fz("", 0), set()),
+        (_fz("aa", 0), {26}),
+        (_fz("ababab", 0), {16}),
+        (_fz("", 1), {27, 28}),
+        (_fz("aa", 1), {26, 27}),
+        (_fz("ababab", 1), {16}),
+        (_fz("", 2), {26, 27, 28}),
+        (_fz("aa", 2), {26, 27, 28, 29, 31}),
+        (_fz("ababab", 2), {16}),
+        (_fz("", 3), {26, 27, 28, 29, 30}),
+        (_fz("aaaa", 3, limit=10),
+         {4, 6, 12, 15, 16, 17, 18, 20, 26, 27, 29, 31}),
+        (_fz("aaaa", 3, limit=0),
+         {4, 6, 12, 15, 16, 17, 18, 20, 26, 27, 29, 31}),
+        (_fz("ababab", 3), {2, 4, 6, 12, 13, 14, 15, 16, 31}),
+        (_fz("", 4), {26, 27, 28, 29, 30, 31}),
+        (_fz("ababab", 4),
+         {2, 3, 4, 5, 6, 9, 12, 13, 14, 15, 16, 17, 18, 20, 26, 29, 31, 33}),
+    ]
+    for filt, want in cases:
+        got = _seq_set(lev_engine, filt)
+        assert got == want, filt
+
+
+def test_edit_distance_terms_limit_restricts_matches_goldens(lev_engine):
+    """levenshtein_filter_test.cpp:383-397 + :196-221: a positive
+    scored_terms_limit routes through top_terms_collector — only the best
+    `limit` terms by (similarity boost, term bytes) MATCH at all. Both
+    length-1 terms tie at boost 0 for target '', so the larger bytes win:
+    limit 1 keeps 'b' (doc 29 -> seq 28) over 'a'."""
+    assert _seq_set(lev_engine, _fz("", 1, limit=1)) == {28}
+    assert _seq_set(lev_engine, _fz("", 2, limit=1)) == {28}
+    assert _seq_set(lev_engine, _fz("", 2, limit=2)) == {27, 28}
+    # limit 0 = match everything the automaton accepts
+    assert _seq_set(lev_engine, _fz("", 2, limit=0)) == {26, 27, 28}
+
+
+def test_edit_distance_damerau_goldens(lev_engine):
+    """levenshtein_filter_test.cpp:470-512 — Damerau-Levenshtein match
+    sets (adjacent transposition costs 1)."""
+    cases = [
+        (_fz("aa", 0, transpose=True), {26}),
+        (_fz("", 1, transpose=True), {27, 28}),
+        (_fz("aa", 1, transpose=True), {26, 27}),
+        (_fz("ababab", 1, transpose=True), {16}),
+        (_fz("aa", 2, transpose=True), {26, 27, 28, 29, 31}),
+        (_fz("ababab", 2, transpose=True), {16, 17}),
+        (_fz("", 3, transpose=True), {26, 27, 28, 29, 30}),
+        (_fz("ababab", 3, transpose=True),
+         {2, 4, 6, 12, 13, 14, 15, 16, 17, 31}),
+    ]
+    for filt, want in cases:
+        got = _seq_set(lev_engine, filt)
+        assert got == want, filt
+
+
+def test_edit_distance_prefix_goldens(lev_engine):
+    """levenshtein_filter_test.cpp:344-368 — Options::prefix: matched
+    terms carry the prefix verbatim, the distance applies to the rest."""
+    cases = [
+        (_fz("", 0, prefix="aaaw"), {31}),
+        (_fz("w", 0, prefix="aaa"), {31}),
+        (_fz("w", 0, transpose=True, prefix="aaa"), {31}),
+        (_fz("", 0, prefix=""), set()),
+        (_fz("aa", 1, prefix="aaabbba"), {8, 9}),
+        (_fz("", 1, prefix=""), {27, 28}),
+        (_fz("ca", 2, prefix="b"), {28, 29}),
+        (_fz("aa", 2, prefix="aa"), {4, 6, 12, 15, 18, 26, 31}),
+        (_fz("", 3, prefix="aaa"), {4, 6, 12, 15, 18, 31}),
+        (_fz("", 3, transpose=True, prefix="aaa"), {4, 6, 12, 15, 18, 31}),
+    ]
+    for filt, want in cases:
+        got = _seq_set(lev_engine, filt)
+        assert got == want, filt
