@@ -618,3 +618,56 @@ def test_edit_distance_prefix_goldens(lev_engine):
     for filt, want in cases:
         got = _seq_set(lev_engine, filt)
         assert got == want, filt
+
+
+# ------------------------------------------------- by_ngram_similarity
+
+
+@pytest.fixture(scope="module")
+def ngram_engine(spark, tmp_path_factory):
+    """ngram_similarity.json (16 docs, one segment): each doc's `field`
+    array of bigrams joined into one token stream — the corpus of
+    `ngram_similarity_filter_tests.cpp`; here doc seq is 1-based already
+    and equals the reference doc id."""
+    docs = _load("ngram_similarity.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_ngram"))
+    rows = [
+        ("r", f"{doc['seq']:02d}.json", "c", "json", " ".join(doc["field"]))
+        for doc in docs
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    build_index(spark, spark.createDataFrame(rows, schema), d,
+                num_segments=1)
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def test_ngram_similarity_match_set_goldens(ngram_engine):
+    """ngram_similarity_filter_tests.cpp hard-coded match sets: LCS-based
+    match degree over the query gram sequence, threshold gating — the
+    no-match, no-serial-match, one-match (a lone 'ss' at 1/6 >= 0.1),
+    missed-last/missed-first (absent terms still count in the
+    denominator) and lower-threshold cases, verbatim."""
+    from iresearch_spark.search import NGramSimilarity
+
+    cases = [
+        (("ee", "we", "qq", "rr", "ff", "never_match"), 0.1, set()),
+        (("ee", "ss", "pa", "rr"), 0.5, set()),
+        (("ee", "ss", "qq", "rr", "ff", "never_match"), 0.1,
+         {1, 3, 5, 6, 7, 8, 9, 10, 12}),
+        (("at", "tl", "la", "as", "ll", "never_match"), 0.5,
+         {1, 2, 5, 8, 11, 12, 13}),
+        (("never_match", "at", "tl", "la", "as", "ll"), 0.5,
+         {1, 2, 5, 8, 11, 12, 13}),
+        (("at", "tl", "la", "as", "ll", "never_match"), 0.33,
+         set(range(1, 15))),
+        (("at", "never_match", "la", "as", "ll"), 0.333,
+         {1, 2, 3, 4, 5, 6, 7, 8, 11, 12, 13, 14}),
+    ]
+    for terms, thr, want in cases:
+        got = _seq_set(
+            ngram_engine, NGramSimilarity(terms=terms, threshold=thr)
+        )
+        assert got == want, (terms, thr)
