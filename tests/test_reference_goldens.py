@@ -671,3 +671,124 @@ def test_ngram_similarity_match_set_goldens(ngram_engine):
             ngram_engine, NGramSimilarity(terms=terms, threshold=thr)
         )
         assert got == want, (terms, thr)
+
+
+# ------------------------------------------------------- by_phrase (variadic)
+
+
+@pytest.fixture(scope="module")
+def phrase_engine(spark, tmp_path_factory):
+    """phrase_sequential.json under the reference test's analyzed field
+    (`phrase_filter_tests.cpp:62-64` + `doc_generator.hpp:617-636`): the
+    `text` analyzer with locale C and NO stopwords — registered here via
+    register_analyzer, the reference's REGISTER_ANALYZER-with-options.
+    One segment; path = doc name."""
+    from functools import partial
+
+    from iresearch_spark.analysis.analyzers import (
+        register_analyzer,
+        text_analyzer,
+    )
+
+    register_analyzer(
+        "text_nostop", partial(text_analyzer, stopwords=frozenset())
+    )
+    docs = _load("phrase_sequential.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_phrase"))
+    rows = [
+        ("r", f"{doc['name']}.json", "c", "json", doc["phrase"])
+        for doc in docs
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string"
+    )
+    build_index(spark, spark.createDataFrame(rows, schema), d,
+                num_segments=1, analyzer="text_nostop")
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def _name_set(engine, filt):
+    rows = engine.search(filt, k=None).collect()
+    return {r["path"].split(".")[0] for r in rows}
+
+
+def test_phrase_single_slot_goldens(phrase_engine):
+    """phrase_filter_tests.cpp:103-2117 — single-slot phrases collapse to
+    the underlying leaf (term / prefix / wildcard / fuzzy / term-set /
+    range), expected name sets verbatim."""
+    from iresearch_spark.search import Fuzzy, TermsF, Wildcard
+
+    fox_docs = {"A", "G", "I", "K", "L", "N", "S", "T", "V"}
+    fo_docs = fox_docs | {"D", "H", "U", "W", "X", "Y"}
+    cases = [
+        (Phrase(terms=("fox",)), fox_docs),
+        (Phrase(terms=(Prefix(prefix="fo"),)), fo_docs),
+        (Phrase(terms=(Wildcard(pattern="fo%"),)), fo_docs),
+        (Phrase(terms=(Wildcard(pattern="%ox"),)), fox_docs),
+        (Phrase(terms=(Wildcard(pattern="f%x"),)), fox_docs),
+        (Phrase(terms=(Wildcard(pattern="f_x"),)), fox_docs),
+        (Phrase(terms=(Wildcard(pattern="fo_"),)), fox_docs),
+        (Phrase(terms=(Wildcard(pattern="fox"),)), fox_docs),
+        (Phrase(terms=(Fuzzy(term="fox", max_distance=0),)), fox_docs),
+        (Phrase(terms=(Fuzzy(term="fol", max_distance=1),)), fox_docs),
+        (Phrase(terms=(TermsF(terms=("fox",)),)), fox_docs),
+        (Phrase(terms=(TermsF(terms=("fox", "that")),)),
+         fox_docs | {"B", "D"}),
+        (Phrase(terms=(TermRange(min_term="x0", max_term="x0"),)),
+         {"X0", "X4"}),
+        (Phrase(terms=(TermRange(min_term="x0", max_term="x2"),)),
+         {"X0", "X1", "X2", "X3", "X4", "X5"}),
+        (Phrase(terms=(TermRange(min_term="x0", max_term="x2",
+                                 include_min=False),)),
+         {"X1", "X2", "X3", "X4", "X5"}),
+        (Phrase(terms=(TermRange(min_term="x0", max_term="x2",
+                                 include_max=False),)),
+         {"X0", "X1", "X3", "X4"}),
+        (Phrase(terms=(TermRange(min_term="x0", max_term="x2",
+                                 include_min=False, include_max=False),)),
+         {"X1", "X3", "X4"}),
+    ]
+    for filt, want in cases:
+        assert _name_set(phrase_engine, filt) == want, filt
+
+
+def test_phrase_variadic_goldens(phrase_engine):
+    """phrase_filter_tests.cpp:3327-4292 — three-slot phrases with a
+    prefix / wildcard / fuzzy / range part in each position, expected
+    name sets verbatim (e.g. 'qui* brown fox' pulls in S via 'quilt',
+    'quick bro* fox' pulls in T via 'brother', 'quick brown fo*' pulls
+    in U via 'forward')."""
+    from iresearch_spark.search import Fuzzy, Wildcard
+
+    agi = {"A", "G", "I"}
+    cases = [
+        (Phrase(terms=("quick", "brown", "fox")), agi),
+        (Phrase(terms=(Prefix(prefix="qui"), "brown", "fox")), agi | {"S"}),
+        (Phrase(terms=(Wildcard(pattern="qui%"), "brown", "fox")),
+         agi | {"S"}),
+        (Phrase(terms=(Wildcard(pattern="q%ck"), "brown", "fox")), agi),
+        (Phrase(terms=(Fuzzy(term="quick", max_distance=0), "brown", "fox")),
+         agi),
+        (Phrase(terms=(Fuzzy(term="quck", max_distance=1), "brown", "fox")),
+         agi),
+        (Phrase(terms=("quick", Prefix(prefix="bro"), "fox")), agi | {"T"}),
+        (Phrase(terms=("quick", Wildcard(pattern="bro%"), "fox")),
+         agi | {"T"}),
+        (Phrase(terms=("quick", Wildcard(pattern="b%w_"), "fox")), agi),
+        (Phrase(terms=("quick", Fuzzy(term="brkln", max_distance=2), "fox")),
+         agi),
+        (Phrase(terms=("quick", "brown", Prefix(prefix="fo"))), agi | {"U"}),
+        (Phrase(terms=("quick", "brown", Wildcard(pattern="fo%"))),
+         agi | {"U"}),
+        (Phrase(terms=("quick", "brown", Wildcard(pattern="f_x"))), agi),
+        (Phrase(terms=("quick", "brown",
+                       Fuzzy(term="fxo", max_distance=1,
+                             with_transpositions=True))), agi),
+        (Phrase(terms=(TermRange(min_term="x0", max_term="x1"),
+                       "x0", "x2")), {"X4"}),
+        (Phrase(terms=("x1", TermRange(min_term="x0", max_term="x1"),
+                       "x2")), {"X4"}),
+    ]
+    for filt, want in cases:
+        assert _name_set(phrase_engine, filt) == want, filt
