@@ -858,6 +858,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ft_bm25_normless"] = ft_bm25_normless
+
+    # multi-field by_same_position (same_position_filter.hpp:33-38:
+    # search_term = pair<field, term>): content:'window' and lang:'en'
+    # sharing a position — lang is single-token (position 0), so this
+    # matches docs whose FIRST content token is 'window', scored as the
+    # conjunction kSum of the two per-field term scores
+    # (same_position_filter.cpp:160-181). Past-window (variant of the
+    # in-window ft_same_position row), oracled + locally verified.
+    from iresearch_spark.search import SamePosition as _SP
+
+    q["ft_same_position_fields"] = lambda s, d: _ft(
+        s, d,
+        _SP(terms=(("content", "window"), ("lang", "en"))),
+        mf=True,
+    )
     return q
 
 
@@ -969,6 +984,35 @@ SELECT sc.doc_id,
          4) AS score
 FROM scored sc
 JOIN ls USING (doc_id)
+WHERE sc.term = 'window'
+GROUP BY sc.doc_id
+"""
+    # multi-field same_position: lang's single token sits at position 0,
+    # so the shared position forces content's FIRST token to be the term;
+    # score is the identical conjunction kSum as ft_field_lang
+    # (same_position_filter.cpp:160-181 CompileScore per child + kSum)
+    o["ft_same_position_fields"] = f"""{_BM25_PRELUDE},
+lstats AS (SELECT count(*)::DOUBLE AS n FROM documents),
+ldf AS (SELECT count(*)::DOUBLE AS df FROM documents WHERE lang = 'en'),
+ls AS (
+  SELECT d.doc_id,
+         ((1.2 + 1.0) * ln(1.0 + ((s.n - f.df) + 0.5) / (f.df + 0.5))) AS lc0,
+         ((1.2 - 1.2 * 0.75) + (1.2 * 0.75 / 1.0) * 1) AS lc1
+  FROM documents d CROSS JOIN lstats s CROSS JOIN ldf f
+  WHERE d.lang = 'en'
+),
+first_tok AS (
+  SELECT doc_id FROM documents
+  WHERE list_extract(regexp_extract_all(lower(text), '{_TOK}'), 1)
+        = 'window'
+)
+SELECT sc.doc_id,
+       round(sum(sc.c0 - sc.c0 * sc.c1 / (sc.c1 + sc.tf))
+             + any_value(ls.lc0 - ls.lc0 * ls.lc1 / (ls.lc1 + 1.0)),
+         4) AS score
+FROM scored sc
+JOIN ls USING (doc_id)
+JOIN first_tok USING (doc_id)
 WHERE sc.term = 'window'
 GROUP BY sc.doc_id
 """

@@ -864,7 +864,11 @@ class SearchEngine:
             elif isinstance(node, NGramSimilarity):
                 fld = self._resolve_field(node.field_name)
                 literal_pairs.extend((fld, t) for t in node.terms)
-            elif isinstance(node, (Phrase, SamePosition)):
+            elif isinstance(node, SamePosition):
+                literal_pairs.extend(
+                    (self._resolve_field(fl), t) for fl, t in node.pairs()
+                )
+            elif isinstance(node, Phrase):
                 fld = self._resolve_field(node.field_name)
                 for el in node.terms:
                     if isinstance(el, str):
@@ -1035,7 +1039,24 @@ class SearchEngine:
                     "threshold": float(node.threshold),
                     "boost": float(b),
                 }
-            if isinstance(node, (Phrase, SamePosition)):
+            if isinstance(node, SamePosition):
+                needs_positions = True
+                prs = [
+                    (self._resolve_field(fl), t) for fl, t in node.pairs()
+                ]
+                if not prs:
+                    return {"op": "empty"}
+                # one SCORED instance per (field, term): the reference
+                # compiles a score per child iterator with its own term
+                # stats (same_position_filter.cpp:214-217, :160-166) and
+                # merges with kSum (:176-181) — unlike a phrase, which
+                # accumulates idf into one buffer and scores phrase freq
+                tids = [
+                    add_instance(fld, t, dfs[(fld, t)], b, True)
+                    for fld, t in prs
+                ]
+                return {"op": "same_pos", "tids": tids}
+            if isinstance(node, Phrase):
                 needs_positions = True
                 fld = self._resolve_field(node.field_name)
                 # each phrase slot is a term SET: a plain string (fixed
@@ -1072,13 +1093,8 @@ class SearchEngine:
                     )
                 c0 = float(self.scorer.c0(b, idf_sum, dtype))
                 nc, nl = field_nc_nl(fld)
-                op = "phrase" if isinstance(node, Phrase) else "same_position"
-                slot_pos = (
-                    list(node.positions()) if isinstance(node, Phrase)
-                    else [0] * len(groups)
-                )
-                return {"op": op, "groups": groups, "c0": c0,
-                        "positions": slot_pos,
+                return {"op": "phrase", "groups": groups, "c0": c0,
+                        "positions": list(node.positions()),
                         "field": fld, "nc": nc, "nl": nl}
             if isinstance(node, ExistsF):
                 fld = self._resolve_field(node.field_name)
@@ -1591,14 +1607,50 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
                 d, _ = eval_node(node["child"])
                 return d, np.full(d.size, dtype(node["boost"]), dtype)
             if op == "phrase":
-                return eval_phrase(node, gapped=True)
-            if op == "same_position":
-                return eval_phrase(node, gapped=False)
+                return eval_phrase(node)
+            if op == "same_pos":
+                return eval_same_pos(node)
             if op == "ngram_sim":
                 return eval_ngram_sim(node)
             raise ValueError(op)
 
-        def eval_phrase(node: dict, gapped: bool = True) -> tuple[np.ndarray, np.ndarray]:
+        def eval_same_pos(node: dict) -> tuple[np.ndarray, np.ndarray]:
+            """by_same_position kernel (same_position_filter.cpp:38-99):
+            conjunction of the (field, term) postings, a doc surviving iff
+            at least one position is shared by EVERY term
+            (`find_same_position`); score = kSum of the per-term scores at
+            each term's RAW in-doc freq (:160-181) — position verification
+            gates matching, not freq."""
+            tids = node["tids"]
+            keys = [inst_key(t) for t in tids]
+            posts = [full_postings(k) for k in keys]
+            cand = posts[0][0]
+            for d, _ in posts[1:]:
+                if cand.size == 0:
+                    break
+                cand = np.intersect1d(cand, d, assume_unique=True)
+            if cand.size:
+                n = len(keys)
+                parts = []
+                for k in keys:
+                    d_rep, p = positions_for(k, cand)
+                    parts.append(np.unique((d_rep << np.int64(31)) | p))
+                uq, cnt = np.unique(np.concatenate(parts), return_counts=True)
+                # a key counted len(keys) times occurs in every slot —
+                # duplicated (field, term) slots contribute exactly their
+                # multiplicity, so the bar stays n for them too
+                docs = np.unique(uq[cnt == n] >> np.int64(31))
+            else:
+                docs = np.empty(0, np.int64)
+            if docs.size == 0:
+                return docs, np.empty(0, dtype)
+            total = np.zeros(docs.size, dtype=dtype)
+            for k, tid in zip(keys, tids):
+                d, f_ = full_postings(k)
+                total += inst_score(tid, docs, f_[np.searchsorted(d, docs)])
+            return docs, total
+
+        def eval_phrase(node: dict) -> tuple[np.ndarray, np.ndarray]:
             groups = node["groups"]
             # per slot: union of member-term postings
             slot_docs: list[np.ndarray] = []
@@ -1637,7 +1689,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
             slot_pos = node.get("positions") or list(range(n_slots))
             key_parts: list[np.ndarray] = []
             for i, terms_g in enumerate(slot_members):
-                shift = np.int64(slot_pos[i] if gapped else 0)
+                shift = np.int64(slot_pos[i])
                 parts = []
                 for t in terms_g:
                     d_rep, p = positions_for(t, cand)

@@ -207,13 +207,30 @@ class NGramSimilarity(Filter):
 
 @dataclass(frozen=True)
 class SamePosition(Filter):
-    """Terms co-occurring at the identical position (by_same_position,
-    `core/search/same_position_filter.cpp`): a conjunction whose match is
-    verified by a non-empty intersection of the terms' position lists;
-    scored like a fixed phrase (tf = number of shared positions)."""
+    """Terms co-occurring at one identical position (by_same_position,
+    `core/search/same_position_filter.cpp:105-182`): a conjunction over
+    the (field, term) postings whose match additionally requires a
+    position shared by EVERY term (`find_same_position` :81-99); scored
+    exactly as that conjunction is — kSum of the per-term scores
+    (:176-181), each term carrying its own field/term stats (:214-217)
+    and its RAW in-doc frequency (position verification gates matching,
+    not freq).
+
+    ``terms`` elements are plain strings (field = ``field_name``) or
+    explicit ``(field, term)`` pairs — the reference's search_term =
+    pair<field, bytes> (`same_position_filter.hpp:33-38`), so one filter
+    can require e.g. a:'700' and c:'7' at the same position across
+    DIFFERENT fields."""
 
     field_name: str = "content"
-    terms: tuple[str, ...] = ()
+    terms: tuple[str | tuple[str, str], ...] = ()
+
+    def pairs(self) -> tuple[tuple[str, str], ...]:
+        """Normalized (field, term) pairs."""
+        return tuple(
+            (t[0], t[1]) if isinstance(t, tuple) else (self.field_name, t)
+            for t in self.terms
+        )
 
 
 @dataclass(frozen=True)
@@ -295,9 +312,18 @@ def rewrite(f: Filter) -> Filter:
             return TermF(boost=f.boost, field_name=f.field_name, term=f.terms[0])
     if isinstance(f, (Phrase, SamePosition)):
         # degenerate 1-term positional filters are plain term queries
-        # (phrase_filter.cpp prepares a single fixed term as a term query)
+        # (phrase_filter.cpp prepares a single fixed term as a term query;
+        # same_position_filter_tests.cpp:241-268 asserts { a: 100 } ==
+        # by_term)
         if not f.terms:
             return Empty()
         if len(f.terms) == 1 and isinstance(f.terms[0], str):
             return TermF(boost=f.boost, field_name=f.field_name, term=f.terms[0])
+        if (
+            isinstance(f, SamePosition)
+            and len(f.terms) == 1
+            and isinstance(f.terms[0], tuple)
+        ):
+            fld, t = f.terms[0]
+            return TermF(boost=f.boost, field_name=fld, term=t)
     return f

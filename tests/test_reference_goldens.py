@@ -792,3 +792,93 @@ def test_phrase_variadic_goldens(phrase_engine):
     ]
     for filt, want in cases:
         assert _name_set(phrase_engine, filt) == want, filt
+
+
+# ------------------------------------------- by_same_position (multi-field)
+
+
+@pytest.fixture(scope="module")
+def same_pos_engine(spark, tmp_path_factory):
+    """same_position.json (`same_position_filter_tests.cpp:196-233`): each
+    doc's `array` elements land one token per element, in array order, in
+    fields a/b/c (json_doc_generator flattens the nested objects), so
+    position i of every field is array element i. One segment; path =
+    str(_id)."""
+    docs = _load("same_position.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_same_pos"))
+    rows = [
+        (
+            "r", str(doc["_id"]), "c", "json",
+            " ".join(el["a"] for el in doc["array"]),
+            " ".join(el["b"] for el in doc["array"]),
+            " ".join(el["c"] for el in doc["array"]),
+        )
+        for doc in docs
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "a string, b string, c string"
+    )
+    corpus = spark.createDataFrame(rows, schema).selectExpr(
+        "*", "a AS content"
+    )
+    build_index(spark, corpus, d, num_segments=1,
+                fields=[("a", "code"), ("b", "code"), ("c", "code")])
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def _id_set(engine, filt):
+    rows = engine.search(filt, k=None).collect()
+    return {int(r["path"]) for r in rows}
+
+
+def test_same_position_multifield_goldens(same_pos_engine):
+    """same_position_filter_tests.cpp:219-573 over same_position.json —
+    expected _id sets verbatim: {a:100,b:30,c:6} -> {6,27};
+    {c:8,b:80,a:700} -> {14,91}; {a:700,c:7} -> the 13-doc list; the
+    empty filter matches nothing (:227-238); {a:100} behaves exactly as
+    by_term (:241-268); the first match of {a:300,b:90,c:9} is segment
+    doc 1 = the corpus' first row, _id 0 (:270-287)."""
+    from iresearch_spark.search import SamePosition
+
+    assert _id_set(
+        same_pos_engine,
+        SamePosition(terms=(("a", "100"), ("b", "30"), ("c", "6"))),
+    ) == {6, 27}
+    assert _id_set(
+        same_pos_engine,
+        SamePosition(terms=(("c", "8"), ("b", "80"), ("a", "700"))),
+    ) == {14, 91}
+    assert _id_set(
+        same_pos_engine,
+        SamePosition(terms=(("a", "700"), ("c", "7"))),
+    ) == {1, 6, 11, 17, 18, 23, 24, 28, 38, 51, 66, 79, 89}
+    assert _id_set(same_pos_engine, SamePosition(terms=())) == set()
+    got_300 = _id_set(
+        same_pos_engine,
+        SamePosition(terms=(("a", "300"), ("b", "90"), ("c", "9"))),
+    )
+    assert min(got_300) == 0
+    assert _id_set(same_pos_engine, SamePosition(terms=(("a", "100"),))) \
+        == _id_set(same_pos_engine, TermF(field_name="a", term="100"))
+
+
+def test_same_position_scores_as_conjunction_sum(same_pos_engine):
+    """The reference scores by_same_position EXACTLY like the conjunction
+    over the same (field, term) postings — per-term CompileScore with own
+    field/term stats + kSum merge (same_position_filter.cpp:160-181) —
+    with the position check only gating matches (raw freq feeds the
+    score). So on the surviving docs the scores must be bit-identical to
+    And(TermF(a:'700'), TermF(c:'7'))."""
+    from iresearch_spark.search import And, SamePosition
+
+    sp = same_pos_engine.search(
+        SamePosition(terms=(("a", "700"), ("c", "7"))), k=None
+    ).toPandas().set_index("path")["score"]
+    conj = same_pos_engine.search(
+        And(children=(TermF(field_name="a", term="700"),
+                      TermF(field_name="c", term="7"))), k=None
+    ).toPandas().set_index("path")["score"]
+    assert set(sp.index) <= set(conj.index)
+    for p, s in sp.items():
+        assert conj[p] == s, p
