@@ -41,10 +41,16 @@ class TermsF(Filter):
     min_match: int = 1
 
     def pairs(self) -> tuple[tuple[str, float], ...]:
-        return tuple(
-            (t, 1.0) if isinstance(t, str) else (t[0], float(t[1]))
-            for t in self.terms
-        )
+        """Normalized (term, boost) pairs, deduplicated and term-sorted:
+        the reference's search_terms is a std::set ordered by term bytes
+        alone (`terms_filter.hpp:54-60`), so a duplicate term is rejected
+        and the FIRST boost wins (terms_filter_test.cpp 'duplicate terms
+        are not allowed')."""
+        out: dict[str, float] = {}
+        for t in self.terms:
+            term, boost = (t, 1.0) if isinstance(t, str) else (t[0], float(t[1]))
+            out.setdefault(term, boost)
+        return tuple(sorted(out.items()))
 
 
 @dataclass(frozen=True)
@@ -303,8 +309,22 @@ def rewrite(f: Filter) -> Filter:
     if isinstance(f, TermsF):
         if not f.terms:
             return Empty()
-        if f.min_match > len(f.terms):
+        if f.min_match > len(f.pairs()):
+            # the reference bounds min_match by the DEDUPED set size
+            # (terms_filter.cpp:110-115 size = options.terms.size())
             return Empty()
+        if f.min_match <= 0:
+            # by_terms::prepare with min_match == 0 and non-empty terms
+            # (terms_filter.cpp:156-180): every doc matches; docs holding
+            # terms keep the terms score, the all-docs child contributes 0
+            return Or(
+                boost=f.boost,
+                children=(
+                    All(boost=0.0),
+                    TermsF(field_name=f.field_name, terms=f.terms,
+                           min_match=1),
+                ),
+            )
     if isinstance(f, NGramSimilarity):
         if not f.terms or f.threshold > 1.0:
             return Empty()

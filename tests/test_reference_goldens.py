@@ -882,3 +882,214 @@ def test_same_position_scores_as_conjunction_sum(same_pos_engine):
     assert set(sp.index) <= set(conj.index)
     for p, s in sp.items():
         assert conj[p] == s, p
+
+
+# --------------------------------------------------- by_terms (terms filter)
+
+
+@pytest.fixture(scope="module")
+def terms_engine(spark, tmp_path_factory):
+    """simple_sequential_utf8.json under string_field semantics
+    (`terms_filter_test.cpp:226-233` + generic_json_field_factory): every
+    string value is ONE exact whole-value token — the `identity`
+    analyzer. One segment; path = seq."""
+    docs = _load("simple_sequential_utf8.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_terms"))
+    rows = [
+        (
+            "r", str(doc["seq"]), "c", "json",
+            doc.get("same"), doc.get("prefix"),
+        )
+        for doc in docs
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "same string, prefix string"
+    )
+    corpus = spark.createDataFrame(rows, schema).selectExpr(
+        "*", "coalesce(same, '') AS content"
+    )
+    build_index(spark, corpus, d, num_segments=1,
+                fields=[("same", "identity"), ("prefix", "identity")])
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def test_by_terms_goldens(terms_engine):
+    """terms_filter_test.cpp:226-374 (simple_sequential) — expected doc
+    sets verbatim: the all-'xyz' `same` field matches all 32 docs; an
+    invalid term alone matches nothing but doesn't break the set; the
+    `prefix` set {abcd, abc, abcy} -> seq {0, 20, 30, 31}; duplicate
+    terms are rejected (std::set keyed on term bytes); min_match = 0
+    matches EVERY doc (terms_filter.cpp:156-180 all-docs disjunction)."""
+    from iresearch_spark.search import TermsF
+
+    all32 = set(range(32))
+    assert _seq_set(terms_engine, TermsF(field_name="same",
+                                         terms=(("xyz", 1.0),))) == all32
+    # no value requested to match / invalid term -> empty
+    assert _seq_set(terms_engine, TermsF(field_name="same", terms=())) == set()
+    assert _seq_set(
+        terms_engine,
+        TermsF(field_name="same", terms=(("invalid_term", 0.5),)),
+    ) == set()
+    # invalid term alongside a matching one: still all docs
+    assert _seq_set(
+        terms_engine,
+        TermsF(field_name="same",
+               terms=(("xyz", 1.0), ("invalid_term", 0.5))),
+    ) == all32
+    # min_match = 0 -> match all even when the term can't match
+    assert _seq_set(
+        terms_engine,
+        TermsF(field_name="same", terms=(("invalid", 1.0),), min_match=0),
+    ) == all32
+    want = {0, 20, 30, 31}
+    assert _seq_set(
+        terms_engine,
+        TermsF(field_name="prefix",
+               terms=(("abcd", 1.0), ("abc", 0.5), ("abcy", 0.5))),
+    ) == want
+    # duplicate terms are not allowed (first boost wins, set unchanged)
+    assert _seq_set(
+        terms_engine,
+        TermsF(field_name="prefix",
+               terms=(("abcd", 1.0), ("abcd", 0.0),
+                      ("abc", 0.5), ("abcy", 0.5))),
+    ) == want
+    # non-existing term mixed in
+    assert _seq_set(
+        terms_engine,
+        TermsF(field_name="prefix",
+               terms=(("abcd", 1.0), ("invalid_term", 0.0),
+                      ("abc", 0.5), ("abcy", 0.5))),
+    ) == want
+
+
+def _seq_set(engine, filt):
+    rows = engine.search(filt, k=None).collect()
+    return {int(r["path"]) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def aw_engine(spark, tmp_path_factory):
+    """AdventureWorks2014.json (`terms_filter_test.cpp:376-412`, the
+    min_match segment): each doc's `Fields` array of column names indexes
+    as one exact token per element — a space-joined string under a
+    space-`delimiter` analyzer (case preserved, string_field parity).
+    One segment; path = 1-based row id matching the reference's
+    segment-local doc ids."""
+    from functools import partial
+
+    from iresearch_spark.analysis.analyzers import (
+        delimiter_analyzer,
+        register_analyzer,
+    )
+
+    register_analyzer("space_delim", partial(delimiter_analyzer,
+                                             delimiter=" "))
+    docs = _load("AdventureWorks2014.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_aw"))
+    rows = [
+        ("r", str(i + 1), "c", "json",
+         " ".join(doc.get("Fields") or []))
+        for i, doc in enumerate(docs)
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "fields_col string"
+    )
+    corpus = spark.createDataFrame(rows, schema).selectExpr(
+        "*", "fields_col AS content"
+    )
+    build_index(spark, corpus, d, num_segments=1,
+                fields=[("fields_col", "space_delim")])
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def test_by_terms_min_match_goldens(aw_engine):
+    """terms_filter_test.cpp:404-467 — by_terms min_match over the
+    AdventureWorks2014 'Fields' column lists, expected segment doc ids
+    verbatim: {BusinessEntityID, StartDate} @1 -> the 23-table list,
+    @2 -> {21, 57} (also with an invalid term mixed in), @3 -> empty
+    (also with a duplicated invalid term, which the term set collapses —
+    min_match stays bounded by the DEDUPED size)."""
+    from iresearch_spark.search import TermsF
+
+    mm1 = {4, 5, 6, 7, 19, 20, 21, 22, 25, 27, 28, 29,
+           30, 34, 38, 46, 52, 53, 57, 62, 65, 69, 70}
+    both = ("BusinessEntityID", "StartDate")
+    assert _seq_set(aw_engine, TermsF(field_name="fields_col",
+                                      terms=both, min_match=1)) == mm1
+    assert _seq_set(aw_engine, TermsF(field_name="fields_col",
+                                      terms=both, min_match=2)) == {21, 57}
+    assert _seq_set(
+        aw_engine,
+        TermsF(field_name="fields_col",
+               terms=both + ("InvalidValue",), min_match=2),
+    ) == {21, 57}
+    assert _seq_set(aw_engine, TermsF(field_name="fields_col",
+                                      terms=both, min_match=3)) == set()
+    assert _seq_set(
+        aw_engine,
+        TermsF(field_name="fields_col",
+               terms=both + ("InvalidValue0", "InvalidValue0"),
+               min_match=3),
+    ) == set()
+
+
+# ----------------------------------------------------- by_prefix (match sets)
+
+
+@pytest.fixture(scope="module")
+def prefix_engine(spark, tmp_path_factory):
+    """simple_sequential.json under string_field semantics
+    (`prefix_filter_test.cpp:163-171`): name/same/duplicated/prefix are
+    exact whole-value tokens (identity analyzer). One segment; path =
+    seq."""
+    docs = _load("simple_sequential.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_prefix"))
+    rows = [
+        (
+            "r", str(doc["seq"]), "c", "json",
+            doc.get("name"), doc.get("same"),
+            doc.get("duplicated"), doc.get("prefix"),
+        )
+        for doc in docs
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "name string, same string, duplicated string, prefix string"
+    )
+    corpus = spark.createDataFrame(rows, schema).selectExpr(
+        "*", "coalesce(same, '') AS content"
+    )
+    build_index(
+        spark, corpus, d, num_segments=1,
+        fields=[("name", "identity"), ("same", "identity"),
+                ("duplicated", "identity"), ("prefix", "identity")],
+    )
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def test_by_prefix_match_set_goldens(prefix_engine):
+    """prefix_filter_test.cpp:163-240 (by_prefix_order/match sets over
+    simple_sequential.json) — expected doc sets verbatim, 1-based segment
+    doc ids mapped to seq = id - 1. The empty prefix matches every doc
+    HOLDING the field; an invalid prefix matches nothing; a whole stored
+    value is its own prefix."""
+    cases = [
+        (("same", "xyz_invalid"), set()),
+        (("same", "xyz"), set(range(32))),
+        (("duplicated", ""),
+         {0, 1, 2, 4, 7, 10, 13, 16, 18, 20, 23, 26, 30}),
+        (("duplicated", "a"), {0, 4, 10, 20, 26, 30}),
+        (("name", "!"), {27}),
+        (("prefix", "b"), {8, 23}),
+        (("duplicated", "vcz"), {1, 2, 7, 13, 16, 18, 23}),
+        (("prefix", "abc"), {0, 3, 20, 25, 30, 31}),
+        (("prefix", "bateradsfsfasdf"), {23}),
+    ]
+    for (fld, pref), want in cases:
+        got = _seq_set(prefix_engine,
+                       Prefix(field_name=fld, prefix=pref))
+        assert got == want, (fld, pref)
