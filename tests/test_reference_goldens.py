@@ -1093,3 +1093,43 @@ def test_by_prefix_match_set_goldens(prefix_engine):
         got = _seq_set(prefix_engine,
                        Prefix(field_name=fld, prefix=pref))
         assert got == want, (fld, pref)
+
+
+def test_by_range_match_set_goldens(prefix_engine):
+    """range_filter_test.cpp:626-1010 (by_range_sequential_cost) —
+    expected doc sets verbatim over simple_sequential.json's single-char
+    `name` field (A..Z plus punctuation and '~'), seq = doc id - 1.
+    Covers unbounded bounds (match every doc holding the field), empty-
+    string bounds (inclusive and exclusive both match all, ["",""] only
+    the empty term), and every inclusive/exclusive corner of [A;B]-style
+    ranges."""
+    all32 = set(range(32))
+    cases = [
+        ((None, None, True, True), all32),            # name = (..;..)
+        (("", None, True, True), all32),              # name = ["";..)
+        (("", None, False, True), all32),             # name = ("";..]
+        (("", "", True, True), set()),                # name = ["";""]
+        (("A", None, True, True), set(range(27))),    # name = [A;..)
+        (("A", None, False, True), set(range(1, 27))),
+        ((None, "C", True, False), {0, 1, 27, 28, 29, 30, 31}),
+        ((None, "C", True, True), {0, 1, 2, 27, 28, 29, 30, 31}),
+        (("A", "C", True, True), {0, 1, 2}),
+        (("A", "B", True, True), {0, 1}),
+        (("A", "B", True, False), {0}),
+        (("A", "B", False, True), {1}),
+        (("A", "B", False, False), set()),
+        (("A", "C", True, False), {0, 1}),
+        (("A", "C", False, True), {1, 2}),
+        (("A", "C", False, False), {1}),
+        (("~", None, True, True), {26}),              # name = [~;..]
+        (("a", None, False, True), {26}),             # name = (a;..]
+        ((None, "a", True, True), all32 - {26}),      # name = [..;a]
+        ((None, "a", True, False), all32 - {26}),     # name = [..;a)
+    ]
+    for (mn, mx, imin, imax), want in cases:
+        got = _seq_set(
+            prefix_engine,
+            TermRange(field_name="name", min_term=mn, max_term=mx,
+                      include_min=imin, include_max=imax),
+        )
+        assert got == want, (mn, mx, imin, imax)
