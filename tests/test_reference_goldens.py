@@ -965,11 +965,6 @@ def test_by_terms_goldens(terms_engine):
     ) == want
 
 
-def _seq_set(engine, filt):
-    rows = engine.search(filt, k=None).collect()
-    return {int(r["path"]) for r in rows}
-
-
 @pytest.fixture(scope="module")
 def aw_engine(spark, tmp_path_factory):
     """AdventureWorks2014.json (`terms_filter_test.cpp:376-412`, the
