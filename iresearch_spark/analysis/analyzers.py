@@ -342,6 +342,15 @@ def numeric_analyzer(s: pd.Series) -> pd.Series:
     return fn(s)
 
 
+def numeric_double_analyzer(s: pd.Series) -> pd.Series:
+    """Double trie token stream (the double_t branch of
+    token_streams.hpp:118-250, sortable-bits encoded); see
+    iresearch_spark.search.numeric."""
+    from iresearch_spark.search.numeric import numeric_double_analyzer as fn
+
+    return fn(s)
+
+
 # bool/null sentinel token streams (`core/analysis/token_streams.hpp:47-82,
 # 253-277`): a boolean value indexes as ONE single-byte term — \xFF for true,
 # \x00 for false — and a null value as the empty term, so equality filters on
@@ -486,6 +495,7 @@ def get_payload_analyzer(name: str, **options) -> Callable:
 ANALYZERS: dict[str, Analyzer] = {
     "code": code_analyzer,
     "numeric": numeric_analyzer,
+    "numeric_double": numeric_double_analyzer,
     "boolean": boolean_analyzer,
     "null": null_analyzer,
     "segmentation": code_analyzer,

@@ -889,7 +889,11 @@ class SearchEngine:
                 from iresearch_spark.search.numeric import granular_ranges
 
                 fld = self._resolve_field(node.field_name)
-                for tr in granular_ranges(node.min_val, node.max_val):
+                for tr in granular_ranges(
+                    node.min_val, node.max_val,
+                    include_min=node.include_min,
+                    include_max=node.include_max,
+                ):
                     reg_leaf(fld, tr)
             elif isinstance(node, (And, Or)):
                 for c in node.children:
@@ -1011,7 +1015,11 @@ class SearchEngine:
 
                 fld = self._resolve_field(node.field_name)
                 tids = []
-                for tr in granular_ranges(node.min_val, node.max_val):
+                for tr in granular_ranges(
+                    node.min_val, node.max_val,
+                    include_min=node.include_min,
+                    include_max=node.include_max,
+                ):
                     tids.extend(
                         add_instance(fld, t, df, b, False)
                         for t, df in leaf_terms(fld, tr)

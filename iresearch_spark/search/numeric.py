@@ -18,31 +18,52 @@ handful of coarse terms instead of every distinct value. Same trick here:
 
 from __future__ import annotations
 
+import struct
 from dataclasses import dataclass
 
 import pandas as pd
 
 from iresearch_spark.search.filters import Filter, TermRange
 
-PRECISION_STEP = 8  # bits per trie level; 8 levels for int64
+PRECISION_STEP = 8  # bits per trie level; 8 levels for int64/double
 _LEVELS = 64 // PRECISION_STEP
+_MAX_U64 = (1 << 64) - 1
+# distinct level alphabets keep int and double tries separate term spaces
+# (the reference's int64 and double numeric_token_streams likewise never
+# collide: the encoded byte patterns differ per type)
+_LEVEL_BASE = {"int": "a", "double": "q"}
 
 
 def _to_unsigned(v: int) -> int:
     """Order-preserving map of signed int64 to unsigned (flip sign bit)."""
-    return (int(v) + (1 << 63)) & ((1 << 64) - 1)
+    return (int(v) + (1 << 63)) & _MAX_U64
 
 
-def encode_numeric_term(value: int, shift: int) -> str:
+def _to_unsigned_f64(v: float) -> int:
+    """Order-preserving map of an IEEE-754 double to uint64 — the
+    reference's make_sortable64 over the raw bits followed by the sign
+    flip (`utils/numeric_utils.cpp:155-158` + dtoi64 :266-277): a negative
+    double inverts all its bits, a positive one flips only the sign bit,
+    so uint64 order == numeric order."""
+    bits = struct.unpack("<q", struct.pack("<d", float(v)))[0]
+    bits ^= (bits >> 63) & 0x7FFFFFFFFFFFFFFF
+    return (bits + (1 << 63)) & _MAX_U64
+
+
+def _unsigned(value, dtype: str) -> int:
+    return _to_unsigned(value) if dtype == "int" else _to_unsigned_f64(value)
+
+
+def encode_numeric_term(value, shift: int, dtype: str = "int") -> str:
     """Term text of ``value`` at trie level ``shift`` (bits truncated)."""
-    u = _to_unsigned(value) >> shift
-    return f"{chr(ord('a') + shift // PRECISION_STEP)}{u:016x}"
+    u = _unsigned(value, dtype) >> shift
+    return f"{chr(ord(_LEVEL_BASE[dtype]) + shift // PRECISION_STEP)}{u:016x}"
 
 
-def numeric_terms(value: int) -> list[str]:
+def numeric_terms(value, dtype: str = "int") -> list[str]:
     """All precision-level terms of one value (the indexed token stream)."""
     return [
-        encode_numeric_term(value, shift)
+        encode_numeric_term(value, shift, dtype)
         for shift in range(0, 64, PRECISION_STEP)
     ]
 
@@ -63,28 +84,70 @@ def numeric_analyzer(s: pd.Series) -> pd.Series:
     return s.map(conv)
 
 
+def numeric_double_analyzer(s: pd.Series) -> pd.Series:
+    """Registry analyzer: double column -> per-doc trie term list under
+    the sortable-double encoding (the reference's double_t
+    numeric_token_stream, `analysis/token_streams.hpp:118-250`); nulls
+    index nothing."""
+
+    def conv(x) -> list[str]:
+        if x is None or pd.isna(x) or x == "":
+            return []
+        return numeric_terms(float(x), dtype="double")
+
+    return s.map(conv)
+
+
 @dataclass(frozen=True)
 class GranularRange(Filter):
-    """by_granular_range over a ``numeric``-analyzed field: docs whose
-    value lies in the inclusive [min_val, max_val]; constant score =
-    boost (a filter, like the reference's typical usage)."""
+    """by_granular_range over a ``numeric``- or ``numeric_double``-analyzed
+    field: docs whose value lies in [min_val, max_val]; constant score =
+    boost (a filter, like the reference's typical usage).
+
+    Bounds follow the reference's by_granular_range_options
+    (`granular_range_filter.hpp`): ``include_min``/``include_max`` pick
+    BoundType INCLUSIVE vs EXCLUSIVE, and a ``None`` bound is open (the
+    reference's numeric_traits inf/ninf sentinel streams). A float-typed
+    bound (or a float on either side) queries the DOUBLE trie — the term
+    space of ``numeric_double`` — mirroring the reference, where a
+    double_t token stream only matches double-indexed values."""
 
     field_name: str = "content"
-    min_val: int = 0
-    max_val: int = 0
+    min_val: int | float | None = 0
+    max_val: int | float | None = 0
+    include_min: bool = True
+    include_max: bool = True
 
 
 def granular_ranges(
-    min_val: int, max_val: int, step: int = PRECISION_STEP
+    min_val,
+    max_val,
+    step: int = PRECISION_STEP,
+    include_min: bool = True,
+    include_max: bool = True,
 ) -> list[TermRange]:
-    """Minimal per-level TermRange cover of the inclusive numeric range."""
-    lo, hi = _to_unsigned(min_val), _to_unsigned(max_val)
-    if lo > hi:
+    """Minimal per-level TermRange cover of the numeric range. Exclusive
+    bounds step one encoding unit inward (for doubles that is exactly
+    nextafter, since the sortable encoding is a bijection onto ordered
+    uint64); ``None`` bounds are open."""
+    dtype = (
+        "double"
+        if isinstance(min_val, float) or isinstance(max_val, float)
+        else "int"
+    )
+    lo = 0 if min_val is None else _unsigned(min_val, dtype)
+    hi = _MAX_U64 if max_val is None else _unsigned(max_val, dtype)
+    if min_val is not None and not include_min:
+        lo += 1
+    if max_val is not None and not include_max:
+        hi -= 1
+    if lo > hi or lo > _MAX_U64 or hi < 0:
         return []
     out: list[TermRange] = []
+    base = _LEVEL_BASE[dtype]
 
     def add(lo_u: int, hi_u: int, shift: int) -> None:
-        lvl = chr(ord("a") + shift // step)
+        lvl = chr(ord(base) + shift // step)
         out.append(
             TermRange(
                 min_term=f"{lvl}{lo_u >> shift:016x}",

@@ -124,3 +124,97 @@ def test_numeric_analyzer_null_variants_index_nothing():
     assert len(out.iloc[0]) > 0 and len(out.iloc[5]) > 0
     for i in (1, 2, 3, 4):
         assert out.iloc[i] == []
+
+
+# ------------------------------------------------- double (sortable) trie
+
+
+def _covered_f64(val: float, ranges) -> bool:
+    for tr in ranges:
+        lvl = tr.min_term[0]
+        shift = (ord(lvl) - ord("q")) * PRECISION_STEP
+        t = encode_numeric_term(val, shift, dtype="double")
+        if tr.min_term <= t <= tr.max_term:
+            return True
+    return False
+
+
+def test_double_encoding_is_order_preserving():
+    """The sortable-double map (numeric_utils.cpp:155-158 make_sortable64
+    + sign flip) is strictly monotone across sign, magnitude, and
+    subnormal boundaries, and the trie terms inherit the order."""
+    from iresearch_spark.search.numeric import _to_unsigned_f64
+
+    vals = [float("-inf"), -1e300, -30000.0, -123.456, -1.0, -1e-300,
+            -0.0, 0.0, 1e-300, 0.5, 1.0, 100.0, 10000.123, 10000.124,
+            1e300, float("inf")]
+    enc = [_to_unsigned_f64(v) for v in vals]
+    assert all(a < b for a, b in zip(enc, enc[1:]))
+    lvl0 = [encode_numeric_term(v, 0, dtype="double") for v in vals]
+    assert lvl0 == sorted(lvl0)
+
+
+@pytest.mark.parametrize(
+    "lo,hi,imin,imax",
+    [
+        (-20000.0, 20000.0, True, True),
+        (100.0, float("inf"), False, True),
+        (float("-inf"), 10000.123, True, False),
+        (10000.123, 10000.123, True, True),
+        (0.5, 2.5, True, True),
+        (-1e9, 1e9, False, False),
+    ],
+)
+def test_granular_double_decomposition_exact_cover(lo, hi, imin, imax):
+    """Every in-range fixture double is covered by the decomposition;
+    every out-of-range one is not (exclusive bounds step exactly one
+    encoding unit = nextafter)."""
+    import math
+
+    ranges = granular_ranges(lo, hi, include_min=imin, include_max=imax)
+    probe = [-30000.0, -10004.0, -456.0, -123.0, 0.0, 0.5, 1.0, 2.5,
+             100.0, 1000.0, 10000.0, 10000.123, 10000.456, 10005.0,
+             20007.0, 1e9, -1e9,
+             math.nextafter(100.0, math.inf),
+             math.nextafter(10000.123, -math.inf)]
+    for v in probe:
+        inside = (v > lo if not imin else v >= lo) and (
+            v < hi if not imax else v <= hi
+        )
+        assert _covered_f64(v, ranges) == inside, v
+
+
+def test_granular_double_engine_roundtrip(spark, tmp_path):
+    """numeric_double end-to-end: a double column indexed via the trie
+    analyzer answers GranularRange with float bounds (the int trie is a
+    disjoint term space and stays unaffected)."""
+    rows = [("r", f"p{i}", "c", "txt", f"body {i}", float(v))
+            for i, v in enumerate([-2.5, 0.0, 0.125, 3.5, 1000.25])]
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, "
+        "content string, score_val double",
+    )
+    d = str(tmp_path / "idx_double")
+    build_index(spark, corpus, d, num_segments=1,
+                fields=[("content", "code"), ("score_val", "numeric_double")])
+    eng = SearchEngine(spark, d)
+    got = {
+        r["path"]
+        for r in eng.search(
+            GranularRange(field_name="score_val", min_val=0.0, max_val=3.5,
+                          include_max=False),
+            k=None,
+        ).collect()
+    }
+    assert got == {"p1", "p2"}
+    got = {
+        r["path"]
+        for r in eng.search(
+            GranularRange(field_name="score_val", min_val=float("-inf"),
+                          max_val=0.0, include_max=True),
+            k=None,
+        ).collect()
+    }
+    assert got == {"p0", "p1"}
+    eng.close()

@@ -1128,3 +1128,67 @@ def test_by_range_match_set_goldens(prefix_engine):
                       include_min=imin, include_max=imax),
         )
         assert got == want, (mn, mx, imin, imax)
+
+
+# --------------------------------------- by_granular_range (double trie)
+
+
+@pytest.fixture(scope="module")
+def granular_engine(spark, tmp_path_factory):
+    """granular_sequential.json (`granular_range_filter_tests.cpp:245-
+    464` by_range_granularity_level): `value` indexed as a DOUBLE
+    numeric_token_stream — the `numeric_double` sortable-bits trie. One
+    segment; path = 1-based doc id matching the reference's expected
+    ids."""
+    docs = _load("granular_sequential.json")
+    d = str(tmp_path_factory.mktemp("idx_golden_granular"))
+    rows = [
+        ("r", str(i + 1), "c", "json", doc["name"], float(doc["value"]))
+        for i, doc in enumerate(docs)
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "name string, value double"
+    )
+    corpus = spark.createDataFrame(rows, schema).selectExpr(
+        "*", "name AS content"
+    )
+    build_index(spark, corpus, d, num_segments=1,
+                fields=[("name", "identity"), ("value", "numeric_double")])
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def test_granular_range_double_goldens(granular_engine):
+    """granular_range_filter_tests.cpp:264-464 — expected doc ids
+    verbatim for double-typed granular ranges over values
+    [1, 100, 1000, 10000, 10000.123, 10000.456, 10005, 20007, -30000,
+    -10004, -123, -456]. Open bounds are the reference's
+    numeric_traits<double>::inf/ninf sentinel streams = literal
+    +-inf here."""
+    from iresearch_spark.search import GranularRange
+
+    inf = float("inf")
+    cases = [
+        # double - value = [-20000..+20000]
+        ((-20000.0, 20000.0, True, True),
+         {1, 2, 3, 4, 5, 6, 7, 10, 11, 12}),
+        # double - value > 100  (min exclusive, max = inf inclusive)
+        ((100.0, inf, False, True), {3, 4, 5, 6, 7, 8}),
+        # double - value >= 100
+        ((100.0, inf, True, True), {2, 3, 4, 5, 6, 7, 8}),
+        # double - value >= 20007 (largest value)
+        ((20007.0, inf, True, True), {8}),
+        # double - value < 10000.123  (min = ninf, max exclusive)
+        ((-inf, 10000.123, True, False), {1, 2, 3, 4, 9, 10, 11, 12}),
+        # double - value <= 10000.123
+        ((-inf, 10000.123, True, True), {1, 2, 3, 4, 5, 9, 10, 11, 12}),
+        # all documents
+        ((-inf, inf, True, True), set(range(1, 13))),
+    ]
+    for (mn, mx, imin, imax), want in cases:
+        got = _seq_set(
+            granular_engine,
+            GranularRange(field_name="value", min_val=mn, max_val=mx,
+                          include_min=imin, include_max=imax),
+        )
+        assert got == want, (mn, mx, imin, imax)
