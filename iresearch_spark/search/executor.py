@@ -1105,6 +1105,30 @@ class SearchEngine:
                         "positions": list(node.positions()),
                         "field": fld, "nc": nc, "nl": nl}
             if isinstance(node, ExistsF):
+                if node.prefix_match:
+                    # prefix mode (column_existence_filter.cpp:95-127):
+                    # kSum disjunction over every indexed field whose name
+                    # starts with the prefix, each a const-boost mask
+                    # iterator — the columns() seek-and-scan over OUR
+                    # field registry (field names stand in for column
+                    # names; the prefix is matched literally, no
+                    # primary-field aliasing)
+                    flds = sorted(
+                        fl for fl in self.field_stats
+                        if fl.startswith(node.field_name)
+                    )
+                    if not flds:
+                        return {"op": "empty"}
+                    used_fields.update(flds)
+                    return {
+                        "op": "or",
+                        "children": [
+                            {"op": "exists", "boost": b, "field": fl}
+                            for fl in flds
+                        ],
+                        "min_match": 1,
+                        "merge": "sum",
+                    }
                 fld = self._resolve_field(node.field_name)
                 used_fields.add(fld)
                 return {"op": "exists", "boost": b, "field": fld}

@@ -243,9 +243,17 @@ class SamePosition(Filter):
 class ExistsF(Filter):
     """Field-presence filter (by_column_existence,
     `core/search/column_existence_filter.cpp`): docs where the field has at
-    least one token (dl > 0); constant score = boost."""
+    least one token (dl > 0); constant score = boost.
+
+    With ``prefix_match`` (the reference's acceptor option,
+    `column_existence_filter.hpp:32-42`), ``field_name`` is a NAME PREFIX
+    and the filter is the kSum disjunction over every indexed field whose
+    name starts with it (`column_existence_filter.cpp:95-127` iterates the
+    segment's columns from the prefix seek) — a doc holding n matching
+    fields scores n * boost."""
 
     field_name: str = "content"
+    prefix_match: bool = False
 
 
 @dataclass(frozen=True)

@@ -1192,3 +1192,78 @@ def test_granular_range_double_goldens(granular_engine):
                           include_min=imin, include_max=imax),
         )
         assert got == want, (mn, mx, imin, imax)
+
+
+# --------------------------------- by_column_existence (prefix acceptor)
+
+
+@pytest.fixture(scope="module")
+def exists_engine(spark, tmp_path_factory):
+    """simple_sequential_common_prefix.json
+    (`column_existence_filter_test.cpp:570-830`): every key becomes an
+    indexed identity field so field presence == the reference's column
+    presence. One segment; path = the doc's `name`."""
+    docs = _load("simple_sequential_common_prefix.json")
+    keys = sorted({k for doc in docs for k in doc} - {"name"})
+    d = str(tmp_path_factory.mktemp("idx_golden_exists"))
+    rows = [
+        tuple(["r", doc["name"], "c", "json", doc["name"]]
+              + [doc.get(k) for k in keys])
+        for doc in docs
+    ]
+    schema = (
+        "repo string, path string, commit string, lang string, "
+        "content string, " + ", ".join(f"`{k}` string" for k in keys)
+    )
+    build_index(
+        spark, spark.createDataFrame(rows, schema), d, num_segments=1,
+        fields=[("content", "identity")]
+        + [(k, "identity") for k in keys],
+    )
+    return SearchEngine(spark, d, scorer=BM15)
+
+
+def test_column_existence_prefix_goldens(exists_engine):
+    """column_existence_filter_test.cpp:585-830 — prefix-mode
+    by_column_existence over the common-prefix corpus, expected doc names
+    verbatim: foo* -> {A,C,D,J,K,L,R,S,T,U,V,!,%}; koob* -> {B,U,V,X,Z};
+    oob* -> {Z,~,@,#,$}; a prefix matching no column -> empty; exact
+    single-field mode still behaves as plain existence."""
+    from iresearch_spark.search import ExistsF
+
+    def got(prefix):
+        rows = exists_engine.search(
+            ExistsF(field_name=prefix, prefix_match=True), k=None
+        ).collect()
+        return {r["path"] for r in rows}
+
+    assert got("foo") == {"A", "C", "D", "J", "K", "L", "R", "S", "T",
+                          "U", "V", "!", "%"}
+    assert got("koob") == {"B", "U", "V", "X", "Z"}
+    assert got("oob") == {"Z", "~", "@", "#", "$"}
+    assert got("no_such_prefix") == set()
+    # exact mode on one of the prefixed fields for contrast
+    exact = exists_engine.search(
+        ExistsF(field_name="koobar"), k=None
+    ).collect()
+    names = {r["path"] for r in exact}
+    docs = _load("simple_sequential_common_prefix.json")
+    assert names == {doc["name"] for doc in docs if "koobar" in doc}
+
+
+def test_column_existence_prefix_scores_sum_per_field(exists_engine):
+    """The prefix disjunction merges kSum
+    (column_existence_filter.cpp:118-126): a doc holding n prefix-matched
+    fields scores n * boost."""
+    from iresearch_spark.search import ExistsF
+
+    rows = exists_engine.search(
+        ExistsF(field_name="foo", prefix_match=True, boost=2.0), k=None
+    ).collect()
+    docs = _load("simple_sequential_common_prefix.json")
+    n_by_name = {
+        doc["name"]: sum(1 for k in doc if k.startswith("foo"))
+        for doc in docs
+    }
+    for r in rows:
+        assert r["score"] == pytest.approx(2.0 * n_by_name[r["path"]])
