@@ -1133,6 +1133,31 @@ class SearchEngine:
                 used_fields.add(fld)
                 return {"op": "exists", "boost": b, "field": fld}
             if isinstance(node, Or):
+                negs = [c for c in node.children if isinstance(c, Not)]
+                if negs:
+                    # a Not child of an Or excludes from the WHOLE
+                    # disjunction, adding one zero-boost all-docs include
+                    # per negation ("we do not boost negation") —
+                    # group_filters, boolean_filter.cpp:105-128. The
+                    # zero-boost alls count toward min_match exactly as
+                    # the reference's incl entries do.
+                    pos = [
+                        c for c in node.children if not isinstance(c, Not)
+                    ]
+                    inner = {
+                        "op": "or",
+                        "children": [compile_node(c, b) for c in pos]
+                        + [{"op": "all", "boost": 0.0} for _ in negs],
+                        "min_match": node.min_match,
+                        "merge": node.merge_type,
+                    }
+                    return {
+                        "op": "and",
+                        "children": [inner],
+                        "excludes": [
+                            compile_node(c.child, b) for c in negs
+                        ],
+                    }
                 if all(isinstance(c, TermF) for c in node.children):
                     tids = [
                         add_instance(

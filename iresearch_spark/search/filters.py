@@ -290,6 +290,9 @@ def rewrite(f: Filter) -> Filter:
         return Not(boost=f.boost, child=c)
     if isinstance(f, And):
         kids = [rewrite(c) for c in f.children]
+        if not kids:
+            # an empty boolean prepares to empty (boolean_filter.cpp:60-62)
+            return Empty()
         if any(isinstance(c, Empty) for c in kids):
             return Empty()
         # `all` hoisting: All children are no-ops inside a conjunction with
@@ -301,13 +304,24 @@ def rewrite(f: Filter) -> Filter:
             return non_all[0]
         return And(boost=f.boost, children=tuple(non_all))
     if isinstance(f, Or):
-        kids = [rewrite(c) for c in f.children if not isinstance(rewrite(c), Empty)]
-        n = len(kids)
+        kids = []
+        for c in f.children:
+            k = rewrite(c)
+            if isinstance(c, Not) and isinstance(k, Empty):
+                # a net-negated match-all empties the WHOLE boolean, not
+                # just its branch (group_filters,
+                # boolean_filter.cpp:117-121 incl.clear())
+                return Empty()
+            if not isinstance(k, Empty):
+                kids.append(k)
         m = f.min_match
+        if m <= 0:
+            # only an explicit 0 min_match counts, and it wins even over
+            # an empty child list (Or::prepare, boolean_filter.cpp:213-218)
+            return All(boost=f.boost)
+        n = len(kids)
         if m > n or n == 0:
             return Empty()
-        if m <= 0:
-            return All(boost=f.boost)  # Or[min_match=0] -> all (:212-312)
         if m == n:
             return rewrite(And(boost=f.boost, children=tuple(kids)))
         if n == 1:

@@ -157,14 +157,25 @@ class OracleEngine:
                     [(c.term, b * c.boost, True) for c in node.children],
                     node.min_match,
                 )
-            parts = [self.eval(c, b) for c in node.children]
+            # a Not child excludes from the WHOLE disjunction and adds a
+            # zero-boost all-docs include per negation (group_filters,
+            # boolean_filter.cpp:105-128)
+            pos = [c for c in node.children if not isinstance(c, Not)]
+            neg = [c.child for c in node.children if isinstance(c, Not)]
+            parts = [self.eval(c, b) for c in pos] + [
+                self.eval(All(), F32(0.0)) for _ in neg
+            ]
             acc: dict = {}
             cnt: dict = {}
             for p in parts:
                 for key, s in p.items():
                     acc[key] = F32(acc.get(key, F32(0.0)) + s)
                     cnt[key] = cnt.get(key, 0) + 1
-            return {k: v for k, v in acc.items() if cnt[k] >= node.min_match}
+            out = {k: v for k, v in acc.items() if cnt[k] >= node.min_match}
+            for n in neg:
+                for key in self.eval(n, b):
+                    out.pop(key, None)
+            return out
         if isinstance(node, And):
             pos = [c for c in node.children if not isinstance(c, Not)]
             neg = [c.child for c in node.children if isinstance(c, Not)]

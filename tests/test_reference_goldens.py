@@ -1267,3 +1267,102 @@ def test_column_existence_prefix_scores_sum_per_field(exists_engine):
     }
     for r in rows:
         assert r["score"] == pytest.approx(2.0 * n_by_name[r["path"]])
+
+
+# ------------------------------------------------- boolean trees (Or/And/Not)
+
+
+def test_boolean_or_goldens(prefix_engine):
+    """boolean_filter_tests.cpp:15493-15726 (or_sequential) — expected doc
+    sets verbatim over simple_sequential.json, seq = doc id - 1. Pins the
+    reference's group_filters semantics: a Not child of an Or EXCLUDES
+    from the whole disjunction (adding a zero-boost all-docs include), an
+    explicit min_match = 0 matches everything even with no children,
+    `all` children count toward min_match, and a net-negated match-all
+    empties the whole boolean."""
+    from functools import partial
+
+    from iresearch_spark.search import All, Empty, Not, TermsF  # noqa: F401
+
+    T = partial(TermF, field_name="name")
+    all32 = set(range(32))
+    xyz = partial(TermF, field_name="same")
+    dup = partial(TermF, field_name="duplicated")
+    cases = [
+        (Or(children=()), set()),
+        (Or(children=(T(term="V"),)), {21}),
+        (Or(children=(T(term="W"), T(term="C"))), {2, 22}),
+        (Or(children=(T(term="A"), T(term="Q"), T(term="Z"))),
+         {0, 16, 25}),
+        # name=A OR name=Q OR (single-branch Or wrapping NOT same=xyz):
+        # the wrapped negation complements to nothing
+        (Or(children=(T(term="A"), T(term="Q"),
+                      Or(children=(Not(child=xyz(term="xyz")),)))),
+         {0, 16}),
+        (Or(children=(T(term="A"), T(term="Q"), T(term="Z"),
+                      xyz(term="invalid_term"))), {0, 16, 25}),
+        (Or(children=(T(term="A"), T(term="Q"), T(term="Z"),
+                      xyz(term="xyz"), xyz(term="invalid_term"))), all32),
+        # min match count == 0 -> every doc, with or without children
+        (Or(children=(T(term="V"),), min_match=0), all32),
+        (Or(children=(), min_match=0), all32),
+        # min_match greater than the number of conditions
+        (Or(children=(T(term="A"), T(term="Q"), T(term="Z"),
+                      xyz(term="xyz"), xyz(term="invalid_term")),
+            min_match=6), set()),
+        # name=A OR false
+        (Or(children=(T(term="A"), Empty())), {0}),
+        # name!=A OR false -> everything but A (Not excludes from the Or)
+        (Or(children=(Not(child=T(term="A")), Empty())), all32 - {0}),
+        (Or(children=(Not(child=T(term="A")),
+                      xyz(term="NOT POSSIBLE"))), all32 - {0}),
+        # `all` children count toward min_match: 2 term hits + 3 alls = 5
+        (Or(children=(T(term="A"), All(), All(), All(),
+                      dup(term="abcd")), min_match=5), {0}),
+        # more alls than min_match -> every doc
+        (Or(children=(T(term="A"), All(), All(), All(), All(), All(),
+                      All(), All(), All(), dup(term="abcd")),
+            min_match=3), all32),
+        # * OR NOT * -> a net-negated match-all empties the boolean
+        (Or(children=(All(), Not(child=All()))), set()),
+    ]
+    for filt, want in cases:
+        assert _seq_set(prefix_engine, filt) == want, filt
+
+
+def test_boolean_and_not_goldens(prefix_engine):
+    """boolean_filter_tests.cpp:15768-16055 (and_sequential +
+    not_standalone_sequential) — expected doc sets verbatim: conjunction
+    chains, the empty And, standalone Not (complement), odd/even
+    negation-chain collapse, and * AND NOT *."""
+    from functools import partial
+
+    from iresearch_spark.search import All, And, Not
+
+    T = partial(TermF, field_name="name")
+    xyz = partial(TermF, field_name="same")
+    dup = partial(TermF, field_name="duplicated")
+    abcd_docs = {0, 4, 10, 20, 26, 30}
+    nested5 = Not(child=Not(child=Not(child=Not(child=Not(
+        child=T(term="A"))))))
+    cases = [
+        (And(children=()), set()),
+        (And(children=(T(term="V"),)), {21}),
+        (And(children=(dup(term="abcd"), xyz(term="xyz"))), abcd_docs),
+        (And(children=(dup(term="abcd"), xyz(term="xyz"), T(term="A"))),
+         {0}),
+        (And(children=(dup(term="abcd"), xyz(term="xyz"), T(term="B"))),
+         set()),
+        # single not statement - empty result (complement of match-all)
+        (Not(child=xyz(term="xyz")), set()),
+        # duplicated=abcd AND (NOT (NOT name=A)) — even chain collapses
+        (And(children=(dup(term="abcd"),
+                       Not(child=Not(child=T(term="A"))))), {0}),
+        # five-deep chain is odd -> NOT name=A
+        (And(children=(dup(term="abcd"), nested5)),
+         abcd_docs - {0}),
+        # * AND NOT *
+        (And(children=(All(), Not(child=All()))), set()),
+    ]
+    for filt, want in cases:
+        assert _seq_set(prefix_engine, filt) == want, filt
