@@ -1366,3 +1366,74 @@ def test_boolean_and_not_goldens(prefix_engine):
     ]
     for filt, want in cases:
         assert _seq_set(prefix_engine, filt) == want, filt
+
+
+# --------------------------------------------- ByNestedFilter (block join)
+
+
+@pytest.fixture(scope="module")
+def nested_tables(spark):
+    """The NestedFilterTestCase dataset (`nested_filter_test.cpp:308-359`):
+    five orders inserted items-first, parents = docs holding `customer`
+    (doc ids 6, 8, 13, 20). The April order at doc 15 has NO customer, so
+    its Mouse (doc 14) — and the dangling date-doc 15 itself — belong to
+    the NEXT parent, BAE at doc 20 (the reference's prev-parent block
+    rule). parent_id below encodes exactly that assignment."""
+    parents = spark.createDataFrame(
+        [(6, "ArangoDB", "May"), (8, "Quest", "June"),
+         (13, "Dell", "April"), (20, "BAE", "March")],
+        "doc int, customer string, date string",
+    )
+    rows = [
+        (1, 6, "Keyboard", 100, 1), (2, 6, "Mouse", 50, 2),
+        (3, 6, "Display", 1000, 2), (4, 6, "CPU", 5000, 1),
+        (5, 6, "RAM", 5000, 1),
+        (7, 8, "CPU", 1000, 3),
+        (9, 13, "Mouse", 10, 2), (10, 13, "Display", 1000, 2),
+        (11, 13, "CPU", 1000, 2), (12, 13, "RAM", 5000, 2),
+        (14, 20, "Mouse", 10, 2), (15, 20, None, None, None),
+        (16, 20, "Stand", 10, 2), (17, 20, "Display", 1000, 2),
+        (18, 20, "CPU", 1000, 2), (19, 20, "RAM", 5000, 2),
+    ]
+    children = spark.createDataFrame(
+        rows, "doc int, parent_id int, item string, price int, count int"
+    )
+    return parents, children
+
+
+def test_nested_filter_goldens(nested_tables):
+    """nested_filter_test.cpp JoinAny0-3 / JoinMin0-3 / JoinRange0-2 /
+    JoinNone0-3 — expected parent doc ids verbatim, including the
+    orphaned-order artifact (BAE matches item=Mouse through the
+    customer-less April order's child)."""
+    from pyspark.sql import functions as F
+
+    from iresearch_spark.search.nested import nested_match
+
+    parents, children = nested_tables
+
+    def ids(pred, lo=1, hi=None):
+        sub = children.filter(pred) if pred is not None else children
+        rows = nested_match(parents, sub, "doc", "parent_id",
+                            lo=lo, hi=hi).collect()
+        return {r["doc"] for r in rows}
+
+    mouse = F.col("item") == "Mouse"
+    cnt = F.col("count")
+    cases = [
+        ((F.col("item") == "Keyboard", 1, None), {6}),        # JoinAny0
+        ((mouse, 1, None), {6, 13, 20}),                      # JoinAny1
+        ((mouse & (F.col("price") <= 11), 1, None), {13, 20}),  # JoinAny2
+        ((cnt == 2, 1, None), {6, 13, 20}),                   # JoinAny3
+        ((cnt == 2, 3, None), {13, 20}),                      # JoinMin0
+        ((cnt == 1, 3, None), {6}),                           # JoinMin1
+        ((cnt == 1, 0, None), {6, 8, 13, 20}),                # JoinMin2
+        ((cnt == 42, 0, None), {6, 8, 13, 20}),               # JoinMin3
+        ((cnt == 2, 3, 5), {13, 20}),                         # JoinRange0
+        ((cnt == 1, 3, 3), {6}),                              # JoinRange1
+        ((cnt == 2, 0, 5), {6, 8, 13, 20}),                   # JoinRange2
+        ((mouse, 0, 0), {8}),                                 # JoinNone0/1
+        ((F.lit(False), 0, 0), {6, 8, 13, 20}),               # JoinNone2/3
+    ]
+    for (pred, lo, hi), want in cases:
+        assert ids(pred, lo, hi) == want, (lo, hi, want)

@@ -177,3 +177,37 @@ def test_wand_equals_exhaustive(engine, query, k):
     w = _collect(engine.search(query, k=k, wand=True))
     e = _collect(engine.search(query, k=k, wand=False))
     assert w == e
+
+
+@pytest.mark.parametrize(
+    "scorer_name", ["bm15", "bm11", "tfidf", "tfidf_norms", "bm25_k_half"]
+)
+def test_wand_equals_exhaustive_other_scorers(spark, engine, scorer_name):
+    """WandTestCase TermFilterBM15/BM11/TFIDF(+norms)
+    (`wand_test.cpp:501-553`): the block-max bounds must stay valid upper
+    bounds — WAND top-k bit-identical to exhaustive — under every scorer
+    the wanderator serves, not just default BM25."""
+    from iresearch_spark.search.scorers import BM25, TFIDF
+
+    scorer = {
+        "bm15": BM25(b=0.0),
+        "bm11": BM25(b=1.0),
+        "tfidf": TFIDF(),
+        "tfidf_norms": TFIDF(with_norms=True),
+        "bm25_k_half": BM25(k=0.5),
+    }[scorer_name]
+    eng = SearchEngine(spark, engine.index_dir, scorer=scorer)
+    try:
+        queries = (
+            TermF(term="import"),
+            Or(children=(TermF(term="import"), TermF(term="void"),
+                         TermF(term="sym_9"))),
+            TermsF(terms=("import", "void", "sym_9"), min_match=2),
+            And(children=(TermF(term="import"), TermF(term="void"))),
+        )
+        for q in queries:
+            w = _collect(eng.search(q, k=10, wand=True))
+            e = _collect(eng.search(q, k=10, wand=False))
+            assert w == e, (scorer_name, q)
+    finally:
+        eng.close()
