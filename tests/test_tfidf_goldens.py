@@ -177,3 +177,17 @@ def test_tfidf_variadic_phrase_golden(phrase_engine):
     assert _name_order(phrase_engine, q) == [
         "SPWLC0", "SPWLC1", "SPWLC2", "SPWLC3",
     ]
+
+
+def test_bm25_phrase_jumps_high_golden(spark, phrase_engine):
+    """bm25_test.cpp test_phrase (`:365-441`, scorer bm25 with b=0): the
+    same "jumps high" phrase ranks {O, P, Q, R} under BM25's saturating
+    tf too — O's pf=2 beats the pf=1 trio, which tie in doc order."""
+    from iresearch_spark.search.scorers import BM25
+
+    eng = SearchEngine(spark, phrase_engine.index_dir, scorer=BM25(b=0.0))
+    try:
+        q = Phrase(terms=("jumps", "high"))
+        assert _name_order(eng, q) == ["O", "P", "Q", "R"]
+    finally:
+        eng.close()
