@@ -304,6 +304,13 @@ def rewrite(f: Filter) -> Filter:
             return non_all[0]
         return And(boost=f.boost, children=tuple(non_all))
     if isinstance(f, Or):
+        m = f.min_match
+        if m <= 0:
+            # only an explicit 0 min_match counts, and it wins over BOTH
+            # an empty child list and a net-negated match-all child:
+            # Or::prepare short-circuits before group_filters ever runs
+            # (boolean_filter.cpp:212-218)
+            return All(boost=f.boost)
         kids = []
         for c in f.children:
             k = rewrite(c)
@@ -314,18 +321,19 @@ def rewrite(f: Filter) -> Filter:
                 return Empty()
             if not isinstance(k, Empty):
                 kids.append(k)
-        m = f.min_match
-        if m <= 0:
-            # only an explicit 0 min_match counts, and it wins even over
-            # an empty child list (Or::prepare, boolean_filter.cpp:213-218)
-            return All(boost=f.boost)
         n = len(kids)
         if m > n or n == 0:
             return Empty()
         if m == n:
-            return rewrite(And(boost=f.boost, children=tuple(kids)))
-        if n == 1:
-            return kids[0]
+            if n == 1 or f.merge_type == "sum":
+                return rewrite(And(boost=f.boost, children=tuple(kids)))
+            # a non-sum merge must survive the conjunction collapse: the
+            # reference's AndQuery still receives merge_type()
+            # (boolean_filter.cpp:300-311), while our And kernel sums —
+            # keep the min_match=n disjunction, whose union kernel merges
+            # per ScoreMergeType
+            return Or(boost=f.boost, children=tuple(kids), min_match=m,
+                      merge_type=f.merge_type)
         return Or(boost=f.boost, children=tuple(kids), min_match=m,
                   merge_type=f.merge_type)
     if isinstance(f, TermsF):

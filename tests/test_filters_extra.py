@@ -236,3 +236,51 @@ def test_phrase_leading_offset_is_noop(spark, tmp_path_factory):
         Phrase(terms=("alpha", "beta"), offsets=(1, 0)), k=None
     ).collect()
     assert [r["path"] for r in rows] == ["p0"]
+
+
+def test_or_min_match_zero_beats_net_negated_all():
+    """Or::prepare short-circuits min_match==0 to match-all BEFORE
+    group_filters can see a net-negated match-all child
+    (boolean_filter.cpp:212-218 vs :117-121) — the 0-min_match Or of
+    NOT(*) matches everything, not nothing."""
+    from iresearch_spark.search import All, Not, Or
+
+    r = rewrite(Or(children=(Not(child=All()),), min_match=0))
+    assert isinstance(r, All)
+    # without the explicit 0 the net-negated all still empties the Or
+    assert rewrite(Or(children=(Not(child=All()),))) == Empty()
+
+
+def test_or_full_match_collapse_keeps_merge_type(engine):
+    """An m==n disjunction with a non-sum ScoreMergeType must NOT collapse
+    into the summing And kernel: the reference's AndQuery still receives
+    merge_type() (boolean_filter.cpp:300-311). Scores must equal the
+    per-doc max of the children on the intersection."""
+    from iresearch_spark.search import And, Or
+    from iresearch_spark.search.filters import rewrite as rw
+
+    terms = (TermF(term="import"), TermF(term="return"))
+    r = rw(Or(children=terms, min_match=2, merge_type="max"))
+    assert isinstance(r, Or) and r.merge_type == "max"
+    assert isinstance(rw(Or(children=terms, min_match=2)), And)
+
+    per_term = {
+        t.term: {
+            (row["segment_id"], row["doc_id"]): np.float64(row["score"])
+            for row in engine.search(t, k=None, with_identity=False,
+                                     dtype="float64").collect()
+        }
+        for t in terms
+    }
+    inter = set(per_term["import"]) & set(per_term["return"])
+    got = {
+        (row["segment_id"], row["doc_id"]): np.float64(row["score"])
+        for row in engine.search(
+            Or(children=terms, min_match=2, merge_type="max"), k=None,
+            with_identity=False, dtype="float64", wand=False,
+        ).collect()
+    }
+    assert got.keys() == inter
+    for key in got:
+        want = max(per_term["import"][key], per_term["return"][key])
+        np.testing.assert_allclose(got[key], want, rtol=1e-6)
