@@ -1187,7 +1187,8 @@ class SearchEngine:
                         pos.append(compile_node(c, b))
                 if not pos:
                     pos = [{"op": "all", "boost": b}]
-                return {"op": "and", "children": pos, "excludes": neg}
+                return {"op": "and", "children": pos, "excludes": neg,
+                        "merge": node.merge_type}
             if isinstance(node, Not):
                 return {
                     "op": "and",
@@ -1651,10 +1652,22 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
                 inter = parts[order[0]][0]
                 for j in order[1:]:
                     inter = np.intersect1d(inter, parts[j][0], assume_unique=True)
-                scores = np.zeros(inter.size, dtype)
-                for d, s in parts:  # sum in child order for float determinism
-                    idx = np.searchsorted(d, inter)
-                    scores += s[idx]
+                merge = node.get("merge", "sum")
+                if merge == "sum":
+                    scores = np.zeros(inter.size, dtype)
+                    for d, s in parts:  # sum in child order (float determinism)
+                        idx = np.searchsorted(d, inter)
+                        scores += s[idx]
+                else:
+                    # kMax/kMin conjunction merge (scorer.hpp:223-237; the
+                    # AndQuery is built with the filter's merge_type)
+                    red = np.maximum if merge == "max" else np.minimum
+                    scores = None
+                    for d, s in parts:
+                        g = s[np.searchsorted(d, inter)]
+                        scores = g if scores is None else red(scores, g)
+                    if scores is None:
+                        scores = np.zeros(inter.size, dtype)
                 for ex in node.get("excludes", []):
                     ed, _ = eval_node(ex)
                     keep = ~np.isin(inter, ed, assume_unique=True)
@@ -2175,8 +2188,12 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
                     and all(wandable_subtree(c) for c in n["children"])
                 )
             if op == "and":
-                return bool(n["children"]) and all(
-                    wandable_subtree(c) for c in n["children"]
+                # the wand_and kernel accumulates child scores by SUM; a
+                # kMax/kMin conjunction runs exhaustive
+                return (
+                    n.get("merge", "sum") == "sum"
+                    and bool(n["children"])
+                    and all(wandable_subtree(c) for c in n["children"])
                 )
             return False
 
@@ -2186,6 +2203,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
         use_wand_and = (
             wand
             and tree["op"] == "and"
+            and tree.get("merge", "sum") == "sum"
             and len(tree["children"]) >= 2
             and all(wandable_subtree(c) for c in tree["children"])
         )

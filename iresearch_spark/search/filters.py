@@ -55,7 +55,13 @@ class TermsF(Filter):
 
 @dataclass(frozen=True)
 class And(Filter):
+    """Conjunction; ``merge_type`` picks how the matching children's
+    scores combine — the reference's And also carries a ScoreMergeType
+    that its AndQuery honors (`boolean_filter.hpp`,
+    boolean_filter.cpp:300-311 q->prepare(..., merge_type(), ...))."""
+
     children: tuple[Filter, ...] = ()
+    merge_type: str = "sum"
 
 
 @dataclass(frozen=True)
@@ -302,7 +308,8 @@ def rewrite(f: Filter) -> Filter:
             return All(boost=f.boost)
         if len(non_all) == 1 and not isinstance(non_all[0], Not):
             return non_all[0]
-        return And(boost=f.boost, children=tuple(non_all))
+        return And(boost=f.boost, children=tuple(non_all),
+                   merge_type=f.merge_type)
     if isinstance(f, Or):
         m = f.min_match
         if m <= 0:
@@ -325,15 +332,11 @@ def rewrite(f: Filter) -> Filter:
         if m > n or n == 0:
             return Empty()
         if m == n:
-            if n == 1 or f.merge_type == "sum":
-                return rewrite(And(boost=f.boost, children=tuple(kids)))
-            # a non-sum merge must survive the conjunction collapse: the
-            # reference's AndQuery still receives merge_type()
-            # (boolean_filter.cpp:300-311), while our And kernel sums —
-            # keep the min_match=n disjunction, whose union kernel merges
-            # per ScoreMergeType
-            return Or(boost=f.boost, children=tuple(kids), min_match=m,
-                      merge_type=f.merge_type)
+            # the conjunction collapse carries the ScoreMergeType along:
+            # the reference's AndQuery still receives merge_type()
+            # (boolean_filter.cpp:300-311)
+            return rewrite(And(boost=f.boost, children=tuple(kids),
+                               merge_type=f.merge_type))
         return Or(boost=f.boost, children=tuple(kids), min_match=m,
                   merge_type=f.merge_type)
     if isinstance(f, TermsF):

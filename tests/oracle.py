@@ -188,11 +188,17 @@ class OracleEngine:
                 keys &= set(p)
             for n in neg:
                 keys -= set(self.eval(n, b))
+            mt = getattr(node, "merge_type", "sum")
             out = {}
             for key in keys:
-                s = F32(0.0)
-                for p in pos_res:  # child order
-                    s = F32(s + p[key])
+                if mt == "sum":
+                    s = F32(0.0)
+                    for p in pos_res:  # child order
+                        s = F32(s + p[key])
+                elif mt == "max":
+                    s = max(p[key] for p in pos_res)
+                else:
+                    s = min(p[key] for p in pos_res)
                 out[key] = s
             return out
         if isinstance(node, Not):

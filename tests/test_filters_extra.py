@@ -261,8 +261,8 @@ def test_or_full_match_collapse_keeps_merge_type(engine):
 
     terms = (TermF(term="import"), TermF(term="return"))
     r = rw(Or(children=terms, min_match=2, merge_type="max"))
-    assert isinstance(r, Or) and r.merge_type == "max"
-    assert isinstance(rw(Or(children=terms, min_match=2)), And)
+    assert isinstance(r, And) and r.merge_type == "max"
+    assert rw(Or(children=terms, min_match=2)).merge_type == "sum"
 
     per_term = {
         t.term: {
@@ -284,3 +284,38 @@ def test_or_full_match_collapse_keeps_merge_type(engine):
     for key in got:
         want = max(per_term["import"][key], per_term["return"][key])
         np.testing.assert_allclose(got[key], want, rtol=1e-6)
+
+
+def test_and_merge_types(engine):
+    """The reference's And carries a ScoreMergeType its AndQuery honors
+    (boolean_filter.cpp:300-311): conjunction scores combine per
+    sum/max/min. WAND must agree (non-sum conjunctions run exhaustive —
+    the wand_and kernel only sums)."""
+    from iresearch_spark.search import And
+
+    terms = (TermF(term="import"), TermF(term="return"))
+    per_term = {
+        t.term: {
+            (r["segment_id"], r["doc_id"]): np.float64(r["score"])
+            for r in engine.search(t, k=None, with_identity=False,
+                                   dtype="float64").collect()
+        }
+        for t in terms
+    }
+    inter = set(per_term["import"]) & set(per_term["return"])
+    for mt, red in (("sum", lambda a, b: a + b), ("max", max), ("min", min)):
+        q = And(children=terms, merge_type=mt)
+        got = {
+            (r["segment_id"], r["doc_id"]): np.float64(r["score"])
+            for r in engine.search(q, k=None, with_identity=False,
+                                   dtype="float64", wand=False).collect()
+        }
+        assert got.keys() == inter, mt
+        for key in got:
+            want = red(per_term["import"][key], per_term["return"][key])
+            np.testing.assert_allclose(got[key], want, rtol=1e-6,
+                                       err_msg=mt)
+        w = engine.search(q, k=10, wand=True).collect()
+        e = engine.search(q, k=10, wand=False).collect()
+        assert [(r["segment_id"], r["doc_id"], r["score"]) for r in w] == \
+            [(r["segment_id"], r["doc_id"], r["score"]) for r in e], mt
