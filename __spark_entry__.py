@@ -873,6 +873,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _SP(terms=(("content", "window"), ("lang", "en"))),
         mf=True,
     )
+
+    # ScoreMergeType family (scorer.hpp:223-237): kMax disjunction and
+    # kMin conjunction — the same postings as the in-window sum rows,
+    # merged per the reference's non-default aggregators
+    # (boolean_filter.cpp:300-311 passes merge_type() to the query).
+    # Past-window, oracled + locally verified.
+    q["ft_disjunction_max"] = lambda s, d: _ft(
+        s, d,
+        Or(children=(TermF(term="window"), TermF(term="scan")),
+           merge_type="max"),
+    )
+    q["ft_conjunction_min"] = lambda s, d: _ft(
+        s, d,
+        And(children=(TermF(term="window"), TermF(term="scan")),
+            merge_type="min"),
+    )
     return q
 
 
@@ -1015,6 +1031,22 @@ JOIN ls USING (doc_id)
 JOIN first_tok USING (doc_id)
 WHERE sc.term = 'window'
 GROUP BY sc.doc_id
+"""
+    # ScoreMergeType twins: max over the doc's MATCHING terms (kMax
+    # disjunction) and min over a full conjunction (kMin) — SQL max/min
+    # over the scored rows is the aggregator exactly
+    o["ft_disjunction_max"] = f"""{_BM25_PRELUDE}
+SELECT doc_id, round(max(c0 - c0 * c1 / (c1 + tf)), 4) AS score
+FROM scored
+WHERE term IN ('window', 'scan')
+GROUP BY doc_id
+"""
+    o["ft_conjunction_min"] = f"""{_BM25_PRELUDE}
+SELECT doc_id, round(min(c0 - c0 * c1 / (c1 + tf)), 4) AS score
+FROM scored
+WHERE term IN ('window', 'scan')
+GROUP BY doc_id
+HAVING count(*) = 2
 """
     # collation key equality (simplified primary strength: lower +
     # strip_accents, see collation_analyzer); single-token field => tf=1,
