@@ -17,9 +17,18 @@ layout-semantics-compatible with :mod:`iresearch_spark.codec.postings`
 - ``block_offsets`` / ``last_docs`` / ``max_freqs`` / ``min_norms`` keep
   identical semantics, so the WAND kernel and skip logic are codec-blind.
 
-Positions and payload streams stay varint in BOTH codecs (disclosed
-deviation: the reference packs positions too; position streams are only
-read for phrase/offset queries, so doc/freq blocks dominate scan bytes).
+Positions (`encode_positions_batch` / `decode_positions` below) are ALSO
+bit-packed under this codec — the reference packs the prox stream the same
+way (`formats_10.cpp:230-265` pos block write via `bit_packing.cpp`):
+128-OCCURRENCE chunks with a 1-byte width header + ``16*w`` bytes each,
+varint tail. Chunk boundaries follow occurrence count (the reference's pos
+block granularity), not posting blocks, so the stored ``pos_offsets``
+column records per-chunk byte offsets under this codec (decode can also
+header-walk without them — the per-doc-block offsets of the varint codec
+are likewise never read at query time). Payload streams (pay_lens /
+payloads) stay varint+raw in both codecs: lengths are mostly < 128 (one
+varint byte == the packed width budget) and the data buffer is
+incompressible user bytes.
 
 Decode entry points REQUIRE ``block_offsets`` (packed blocks are not
 self-delimiting without reading headers sequentially); every caller has
@@ -329,6 +338,172 @@ def decode_postings_many(
     cs_before = np.concatenate([[0], cs])[term_starts]
     doc_ids = cs - np.repeat(cs_before, nt)
     return doc_ids, freqs
+
+
+def encode_positions_batch(
+    freqs: np.ndarray, flat_positions: np.ndarray, term_lengths: np.ndarray
+) -> tuple[list[bytes], list[np.ndarray]]:
+    """Packed twin of ``postings.encode_positions_batch`` — same inputs
+    (term-major / doc-major / position-ascending ``flat_positions``, per-doc
+    counts ``freqs``), same per-term ``(blobs, offsets)`` return shape.
+
+    Delta stream is identical to the varint codec (absolute at each doc
+    start, within-doc deltas otherwise); the bytes differ: per term, full
+    128-occurrence chunks are ``[w:u8] + 16*w`` bytes of MSB-first packed
+    deltas, the tail (< 128 occurrences) is varint. Returned offsets are
+    per-CHUNK byte offsets (including the tail chunk when present).
+    """
+    nt = np.ascontiguousarray(term_lengths, dtype=np.int64)
+    T = nt.size
+    N = int(nt.sum())
+    if N == 0:
+        return [], []
+    freqs = np.ascontiguousarray(freqs, dtype=np.int64)
+    flat = np.ascontiguousarray(flat_positions, dtype=np.int64)
+    total = int(freqs.sum())
+    if flat.size != total:
+        raise ValueError("flat_positions length != sum(freqs)")
+
+    posting_starts = np.concatenate([[0], np.cumsum(freqs)])[:-1]
+    deltas = np.diff(flat, prepend=np.int64(0))
+    deltas[posting_starts] = flat[posting_starts]
+
+    term_posting_starts = np.concatenate([[0], np.cumsum(nt)])[:-1]
+    occ_per_term = np.add.reduceat(freqs, term_posting_starts)
+    occ_starts = np.concatenate([[0], np.cumsum(occ_per_term)])[:-1]
+
+    full_per_term = occ_per_term // BLOCK_SIZE
+    tail_per_term = occ_per_term - full_per_term * BLOCK_SIZE
+    total_full = int(full_per_term.sum())
+
+    # ---- full chunks: global table + per-chunk widths
+    if total_full:
+        term_of_chunk = np.repeat(np.arange(T, dtype=np.int64), full_per_term)
+        chunk_term_off = np.concatenate([[0], np.cumsum(full_per_term)])[:-1]
+        chunk_within = (
+            np.arange(total_full, dtype=np.int64)
+            - chunk_term_off[term_of_chunk]
+        )
+        chunk_first = occ_starts[term_of_chunk] + BLOCK_SIZE * chunk_within
+        gather = chunk_first[:, None] + np.arange(BLOCK_SIZE, dtype=np.int64)
+        wd = _widths(deltas[gather].max(axis=1))
+        chunk_len = 1 + 16 * wd
+        term_full_bytes = np.zeros(T, dtype=np.int64)
+        np.add.at(term_full_bytes, term_of_chunk, chunk_len)
+    else:
+        wd = np.empty(0, dtype=np.int64)
+        chunk_len = np.empty(0, dtype=np.int64)
+        term_full_bytes = np.zeros(T, dtype=np.int64)
+
+    # ---- tail: one shared varint buffer
+    term_of_occ = np.repeat(np.arange(T, dtype=np.int64), occ_per_term)
+    within_occ = np.arange(total, dtype=np.int64) - occ_starts[term_of_occ]
+    tail_mask = within_occ >= BLOCK_SIZE * full_per_term[term_of_occ]
+    tail_vals = deltas[tail_mask].astype(np.uint64)
+    term_tail_bytes = np.zeros(T, dtype=np.int64)
+    if tail_vals.size:
+        tlens = varint_lengths(tail_vals)
+        np.add.at(term_tail_bytes, term_of_occ[tail_mask], tlens)
+        tail_buf = np.frombuffer(encode_varints(tail_vals), dtype=np.uint8)
+
+    term_bytes = term_full_bytes + term_tail_bytes
+    term_blob_start = np.concatenate([[0], np.cumsum(term_bytes)])[:-1]
+    out = np.zeros(int(term_bytes.sum()), dtype=np.uint8)
+
+    # ---- write full chunks (width-grouped, like the doc-block encoder)
+    if total_full:
+        ccum = np.concatenate([[0], np.cumsum(chunk_len)])
+        chunk_off_in_term = ccum[:-1] - ccum[chunk_term_off][term_of_chunk]
+        chunk_abs = term_blob_start[term_of_chunk] + chunk_off_in_term
+        out[chunk_abs] = wd.astype(np.uint8)
+        for w in np.unique(wd):
+            grp = np.flatnonzero(wd == w)
+            vals = deltas[gather[grp]].astype(np.uint64)
+            packed = _pack_group(vals, int(w))
+            tgt = (
+                chunk_abs[grp][:, None]
+                + 1
+                + np.arange(16 * int(w), dtype=np.int64)
+            ).ravel()
+            out[tgt] = packed.ravel()
+
+    # ---- write tails (scatter the shared varint buffer)
+    if tail_vals.size:
+        tail_abs_start = term_blob_start + term_full_bytes
+        tail_buf_start = np.concatenate([[0], np.cumsum(term_tail_bytes)])[:-1]
+        tgt = np.repeat(
+            tail_abs_start - tail_buf_start, term_tail_bytes
+        ) + np.arange(int(term_tail_bytes.sum()), dtype=np.int64)
+        out[tgt] = tail_buf
+
+    blob_all = out.tobytes()
+    blobs = [
+        blob_all[term_blob_start[t] : term_blob_start[t] + term_bytes[t]]
+        for t in range(T)
+    ]
+
+    # ---- per-chunk offsets (full chunks + tail chunk when present)
+    offsets: list[np.ndarray] = []
+    if total_full:
+        fcuts = np.concatenate([[0], np.cumsum(full_per_term)])
+    for t in range(T):
+        if full_per_term[t]:
+            offs_t = chunk_off_in_term[fcuts[t] : fcuts[t + 1]]
+        else:
+            offs_t = np.empty(0, dtype=np.int64)
+        if tail_per_term[t]:
+            offs_t = np.append(offs_t, term_full_bytes[t])
+        offsets.append(offs_t)
+    return blobs, offsets
+
+
+def decode_positions(
+    blob: bytes, freqs: np.ndarray, pos_offsets: np.ndarray | None = None
+) -> np.ndarray:
+    """Full decode of a packed positions blob -> flat positions (per-doc
+    cumsum'd, same contract as the varint ``decode_positions``). Uses the
+    stored per-chunk ``pos_offsets`` when given and consistent; otherwise
+    header-walks the full chunks (one trivial Python step per 128
+    occurrences)."""
+    freqs = np.ascontiguousarray(freqs, dtype=np.int64)
+    total = int(freqs.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    n_full = total // BLOCK_SIZE
+    tail = total - n_full * BLOCK_SIZE
+    n_chunks = n_full + (1 if tail else 0)
+    if pos_offsets is not None and len(pos_offsets) == n_chunks:
+        offs = np.ascontiguousarray(pos_offsets, dtype=np.int64)
+        tail_off = int(offs[n_full]) if tail else len(blob)
+        offs = offs[:n_full]
+    else:
+        offs = np.empty(n_full, dtype=np.int64)
+        o = 0
+        for k in range(n_full):
+            offs[k] = o
+            o += 1 + 16 * int(buf[o])
+        tail_off = o
+
+    deltas = np.empty(total, dtype=np.int64)
+    if n_full:
+        wd = buf[offs].astype(np.int64)
+        dst = np.arange(n_full, dtype=np.int64)[:, None] * BLOCK_SIZE + np.arange(
+            BLOCK_SIZE, dtype=np.int64
+        )
+        for w in np.unique(wd):
+            grp = np.flatnonzero(wd == w)
+            src = offs[grp][:, None] + 1 + np.arange(16 * int(w), dtype=np.int64)
+            deltas[dst[grp]] = _unpack_group(buf[src], int(w)).astype(np.int64)
+    if tail:
+        deltas[n_full * BLOCK_SIZE :] = decode_varints(
+            buf[tail_off:], tail
+        ).astype(np.int64)
+
+    doc_starts = np.concatenate([[0], np.cumsum(freqs)])[:-1]
+    cs = np.cumsum(deltas)
+    cs_before = np.concatenate([[0], cs])[doc_starts]
+    return cs - np.repeat(cs_before, freqs)
 
 
 def decode_blocks(

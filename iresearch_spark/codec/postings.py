@@ -472,8 +472,12 @@ def encode_positions(
     return encode_varints(deltas.astype(np.uint64)), block_pos_offsets
 
 
-def decode_positions(blob: bytes, freqs: np.ndarray) -> np.ndarray:
-    """Full decode of a positions blob -> flat positions (per-doc cumsum'd)."""
+def decode_positions(
+    blob: bytes, freqs: np.ndarray, pos_offsets: np.ndarray | None = None
+) -> np.ndarray:
+    """Full decode of a positions blob -> flat positions (per-doc cumsum'd).
+    ``pos_offsets`` is accepted for signature symmetry with the packed codec
+    and ignored (the varint stream is self-delimiting)."""
     freqs = np.ascontiguousarray(freqs, dtype=np.int64)
     total = int(freqs.sum())
     if total == 0:

@@ -186,7 +186,10 @@ HASH_SEGMENTS_PAY_SCHEMA = HASH_SEGMENTS_SCHEMA + ", pay_lens binary, payloads b
 
 
 def _invert_hash_kernel(
-    with_positions: bool, with_spans: bool = False, codec: str = "varint"
+    with_positions: bool,
+    with_spans: bool = False,
+    codec: str = "varint",
+    positions_codec: str | None = None,
 ):
     """Pure-integer invert: one input row per doc (segment_id, doc_id, dl,
     hs array<long> of per-token hashes) -> one output row per term hash with
@@ -205,6 +208,9 @@ def _invert_hash_kernel(
     from iresearch_spark.codec import postings_codec
 
     encode_doc_blocks = postings_codec(codec).encode_postings_batch
+    encode_pos_blocks = postings_codec(
+        positions_codec or codec
+    ).encode_positions_batch
 
     def invert(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -273,7 +279,7 @@ def _invert_hash_kernel(
             "min_norms": minn,
         }
         if with_positions or with_spans:
-            pblobs, poffs = encode_positions_batch(freqs, sp, term_lengths)
+            pblobs, poffs = encode_pos_blocks(freqs, sp, term_lengths)
             out["positions"] = pblobs
             out["pos_offsets"] = poffs
         else:
@@ -300,6 +306,7 @@ def make_seg_builder(
     out_partitions: int | None = None,
     column: str | None = None,
     codec: str = "varint",
+    positions_codec: str | None = None,
 ):
     """Returns seg_builder(sub) -> segments DataFrame (SEGMENTS_SCHEMA).
 
@@ -320,7 +327,8 @@ def make_seg_builder(
     use_jvm = jvm_ok and (not with_payloads or with_spans)
     if not use_jvm:
         invert = _invert_kernel(
-            analyzer, field, with_positions, with_payloads, codec
+            analyzer, field, with_positions, with_payloads, codec,
+            positions_codec=positions_codec,
         )
         schema = SEGMENTS_PAY_SCHEMA if with_payloads else SEGMENTS_SCHEMA
 
@@ -336,7 +344,8 @@ def make_seg_builder(
         return build_py
 
     invert_h = _invert_hash_kernel(
-        with_positions, with_spans=with_spans, codec=codec
+        with_positions, with_spans=with_spans, codec=codec,
+        positions_codec=positions_codec,
     )
     kernel_schema = (
         HASH_SEGMENTS_PAY_SCHEMA if with_spans else HASH_SEGMENTS_SCHEMA
@@ -438,6 +447,7 @@ def make_seg_builder(
 def _invert_kernel(
     analyzer_name: str, field: str, with_positions: bool,
     with_payloads: bool = False, codec: str = "varint",
+    positions_codec: str | None = None,
 ):
     """``with_payloads``: the analyzer is a payload analyzer (tokens + per-
     position user bytes, token_attributes.hpp:67-72); positions are implied
@@ -452,6 +462,9 @@ def _invert_kernel(
     from iresearch_spark.codec import postings_codec
 
     encode_doc_blocks = postings_codec(codec).encode_postings_batch
+    encode_pos_blocks = postings_codec(
+        positions_codec or codec
+    ).encode_positions_batch
 
     def invert(pdf: pd.DataFrame) -> pd.DataFrame:
         if pdf.empty:
@@ -526,7 +539,7 @@ def _invert_kernel(
             "min_norms": minn,
         }
         if with_positions or with_payloads:
-            pblobs, poffs = encode_positions_batch(freqs, sp, term_lengths)
+            pblobs, poffs = encode_pos_blocks(freqs, sp, term_lengths)
             out["positions"] = pblobs
             out["pos_offsets"] = poffs
         else:
@@ -727,6 +740,7 @@ def build_index(
     from iresearch_spark.codec import DEFAULT_CODEC
     from iresearch_spark.index.manifest import read_manifest
 
+    pos_codec: str | None = None
     if resume:
         existing = read_manifest(index_dir)
         if existing is not None:
@@ -738,8 +752,15 @@ def build_index(
                     "readable under the codec that wrote them"
                 )
             codec = man_codec
+            # resumed segments must encode positions exactly like the
+            # committed ones — an index built before positions gained a
+            # packed encoding records positions_codec="varint" (absent key)
+            # even when its postings are packed
+            pos_codec = getattr(existing, "positions_codec", "varint")
     if codec is None:
         codec = DEFAULT_CODEC
+    if pos_codec is None:
+        pos_codec = codec
 
     t0 = time.time()
     # One shuffle + in-partition sort assigns segment & doc ids; persist so
@@ -768,6 +789,7 @@ def build_index(
     seg_builder = make_seg_builder(
         spark, analyzer, field, with_positions, jvm_tokenize,
         verify_dictionary, out_partitions=num_segments, codec=codec,
+        positions_codec=pos_codec,
     )
     dl_expr = make_dl_expr(analyzer, field)
     extra_fields = [
@@ -776,6 +798,7 @@ def build_index(
             make_seg_builder(
                 spark, az, name, with_positions, jvm_tokenize,
                 verify_dictionary, out_partitions=num_segments, codec=codec,
+                positions_codec=pos_codec,
             ),
             make_dl_expr(az, name),
         )
@@ -819,6 +842,7 @@ def build_index(
                     else None
                 ),
                 postings_codec=codec,
+                positions_codec=pos_codec,
             ),
         )
         committed_waves += 1

@@ -44,17 +44,20 @@ def import_index(
         raise FileNotFoundError("both indexes need a manifest")
     src_codec = getattr(src, "postings_codec", "varint")
     dst_codec = getattr(dst, "postings_codec", "varint")
+    src_pos_codec = getattr(src, "positions_codec", "varint")
+    dst_pos_codec = getattr(dst, "positions_codec", "varint")
     if (
         src.field_specs() != dst.field_specs()
         or src.with_positions != dst.with_positions
         or (src.sort or None) != (dst.sort or None)
         or src_codec != dst_codec
+        or src_pos_codec != dst_pos_codec
     ):
         raise ValueError(
             "incompatible indexes: fields/analyzers/positions/sort/codec "
             f"differ ({src.field_specs()}/sort={src.sort}/"
-            f"codec={src_codec} vs {dst.field_specs()}/sort={dst.sort}/"
-            f"codec={dst_codec})"
+            f"codec={src_codec}+{src_pos_codec} vs {dst.field_specs()}/"
+            f"sort={dst.sort}/codec={dst_codec}+{dst_pos_codec})"
         )
 
     base = 1 + max((s["segment_id"] for s in dst.segments), default=-1)
@@ -117,6 +120,7 @@ def import_index(
             with_payloads=dst.with_payloads,
             commit_payload=dst.commit_payload,
             postings_codec=dst_codec,
+            positions_codec=dst_pos_codec,
         ),
     )
     return {"imported": len(src_ids), "mapping": mapping}

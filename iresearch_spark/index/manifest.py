@@ -45,6 +45,12 @@ class Manifest:
     # full blocks + varint tail, `formats_10.cpp:86-131` SIMD format
     # analogue). Decoders dispatch on this; merge preserves it.
     postings_codec: str = "varint"
+    # positions-stream codec, recorded separately from postings_codec so
+    # indexes written before positions gained a packed encoding (their
+    # manifests lack the key -> "varint") keep decoding correctly; new
+    # builds set it equal to the posting codec (the reference packs the
+    # prox stream with the same bit-packing, `formats_10.cpp:230-265`)
+    positions_codec: str = "varint"
 
     def commit_payload_bytes(self) -> bytes | None:
         if self.commit_payload is None:
@@ -77,6 +83,8 @@ class Manifest:
             payload["commit_payload"] = self.commit_payload
         if self.postings_codec != "varint":  # legacy manifests stay stable
             payload["postings_codec"] = self.postings_codec
+        if self.positions_codec != "varint":
+            payload["positions_codec"] = self.positions_codec
         return json.dumps(payload, sort_keys=True, separators=(",", ":")) + "\n"
 
 
@@ -179,6 +187,7 @@ def read_manifest(index_dir: str, generation: int | None = None) -> Manifest | N
         with_payloads=d.get("with_payloads", False),
         commit_payload=d.get("commit_payload"),
         postings_codec=d.get("postings_codec", "varint"),
+        positions_codec=d.get("positions_codec", "varint"),
     )
 
 

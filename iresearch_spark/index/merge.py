@@ -39,10 +39,7 @@ from pyspark.sql import functions as F
 from iresearch_spark.codec import (
     decode_payloads,
     decode_positions,
-    decode_postings_many,
     encode_payloads_batch,
-    encode_positions_batch,
-    encode_postings_batch,
 )
 from iresearch_spark.index.build import SEGMENTS_SCHEMA
 from iresearch_spark.index.manifest import (
@@ -189,6 +186,8 @@ def merge_segments(
     from iresearch_spark.codec import postings_codec
 
     codec_mod = postings_codec(getattr(man, "postings_codec", "varint"))
+    pos_mod = postings_codec(getattr(man, "positions_codec", "varint"))
+    pos_is_varint = pos_mod.decode_positions is decode_positions
     # public API: normalize — remap base offsets accumulate in iteration
     # order, which MUST be ascending segment_id to match merge_bucket's sort
     seg_ids = sorted({int(s) for s in seg_ids})
@@ -370,17 +369,31 @@ def merge_segments(
             else np.zeros(len(pdf), dtype=bool)
         )
         if (with_positions or with_payloads) and has_pos.any():
-            if has_pos.all():
+            if has_pos.all() and pos_is_varint:
+                # varint-only fast path: the streams are self-delimiting,
+                # so row blobs concatenate into one decodable stream. A
+                # packed stream's chunk grid restarts per row — decode
+                # per row (with its stored chunk offsets) instead.
                 pos_concat = b"".join(pdf["positions"])
                 flat_pos = decode_positions(pos_concat, freqs)
             else:
                 rsp = np.concatenate([[0], np.cumsum(counts)])[:-1]
+                have_offs = "pos_offsets" in pdf.columns
                 parts = []
                 for i in range(len(pdf)):
                     f_row = freqs[rsp[i] : rsp[i] + counts[i]]
                     if has_pos[i]:
+                        offs_i = (
+                            pdf["pos_offsets"].iloc[i] if have_offs else None
+                        )
                         parts.append(
-                            decode_positions(pdf["positions"].iloc[i], f_row)
+                            pos_mod.decode_positions(
+                                pdf["positions"].iloc[i],
+                                f_row,
+                                np.asarray(offs_i, dtype=np.int64)
+                                if offs_i is not None
+                                else None,
+                            )
                         )
                     else:
                         parts.append(
@@ -392,7 +405,7 @@ def merge_segments(
                     else np.empty(0, dtype=np.int64)
                 )
             pos_keep = np.repeat(keep, freqs)
-            pblobs, poffs = encode_positions_batch(
+            pblobs, poffs = pos_mod.encode_positions_batch(
                 kept_freqs, flat_pos[pos_keep], lengths
             )
             # an output term's rows all come from one (field, term) —
@@ -619,6 +632,7 @@ def merge_segments(
             with_payloads=man.with_payloads,
             commit_payload=man.commit_payload,
             postings_codec=getattr(man, "postings_codec", "varint"),
+            positions_codec=getattr(man, "positions_codec", "varint"),
         ),
     )
     if cleanup:

@@ -46,11 +46,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from iresearch_spark.codec import (
-    decode_blocks,
-    decode_positions,
-    decode_postings,
-)
 from iresearch_spark.index.build import DOCMETA_SCHEMA, SEGMENTS_SCHEMA
 from iresearch_spark.index.manifest import read_manifest
 from iresearch_spark.search.filters import (
@@ -216,6 +211,9 @@ class SearchEngine:
         self.field = m.field_name
         # posting-block codec every decode in this engine dispatches on
         self._postings_codec = getattr(m, "postings_codec", "varint")
+        # positions-stream codec (recorded separately: pre-packed-positions
+        # indexes carry packed postings but varint positions)
+        self._positions_codec = getattr(m, "positions_codec", "varint")
         self.field_stats: dict[str, tuple[int, int]] = {}
         for name, _az in m.field_specs():
             if name == m.field_name:
@@ -486,13 +484,15 @@ class SearchEngine:
         from iresearch_spark.index.build import SEGMENTS_PAY_SCHEMA
 
         cmod = postings_codec(self._postings_codec)
+        pmod = postings_codec(self._positions_codec)
         fld = self._resolve_field(field_name)
         seg = self._seg_filter(
             self.spark.read.schema(SEGMENTS_PAY_SCHEMA)
             .parquet(f"{self.index_dir}/segments")
             .select(
                 "segment_id", "field", "term", "docs_count", "postings",
-                "block_offsets", "positions", "pay_lens", "payloads",
+                "block_offsets", "positions", "pos_offsets",
+                "pay_lens", "payloads",
             )
         ).filter((F.col("field") == fld) & (F.col("term") == term))
 
@@ -510,7 +510,13 @@ class SearchEngine:
                         int(r.docs_count),
                         np.asarray(r.block_offsets, dtype=np.int64),
                     )
-                    pos = decode_positions(r.positions, freqs)
+                    pos = pmod.decode_positions(
+                        r.positions,
+                        freqs,
+                        np.asarray(r.pos_offsets, dtype=np.int64)
+                        if r.pos_offsets is not None
+                        else None,
+                    )
                     pay = decode_payloads(r.pay_lens, r.payloads, freqs)
                     outs.append(
                         pd.DataFrame(
@@ -1209,6 +1215,7 @@ class SearchEngine:
                 "primary": self.field,
                 "fields": sorted(used_fields),
                 "codec": self._postings_codec,
+                "pos_codec": self._positions_codec,
             },
             needed_terms=needed,
             rest_specs=rest_specs,
@@ -1405,6 +1412,7 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
         from iresearch_spark.codec import postings_codec
 
         cmod = postings_codec(consts.get("codec", "varint"))
+        pos_mod = postings_codec(consts.get("pos_codec", "varint"))
         dtype = np.float32 if consts["dtype"] == "float32" else np.float64
         scorer = consts["scorer"]
         primary_field = consts["primary"]
@@ -1515,7 +1523,13 @@ def _make_kernel(prep: _Prepared, k: int, wand: bool, stats: bool = False):
                 shards = rows_by_term[key]
                 decs = shard_decodes(key)
                 parts = [
-                    decode_positions(r.positions, f_s)
+                    pos_mod.decode_positions(
+                        r.positions,
+                        f_s,
+                        np.asarray(r.pos_offsets, dtype=np.int64)
+                        if getattr(r, "pos_offsets", None) is not None
+                        else None,
+                    )
                     for r, (_, f_s) in zip(shards, decs)
                 ]
                 pos_cache[key] = (

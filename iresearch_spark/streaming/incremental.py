@@ -77,6 +77,14 @@ class IncrementalIndexer:
             if existing is not None
             else DEFAULT_CODEC
         )
+        # appended batches must encode positions exactly like the index
+        # they join (an older index may pair packed postings with varint
+        # positions — its manifest lacks the positions_codec key)
+        self.pos_codec = (
+            getattr(existing, "positions_codec", "varint")
+            if existing is not None
+            else self.codec
+        )
         # a per-micro-batch publisher is the one writer that accumulates
         # generations without bound; set a rolling window (e.g. 64) to
         # prune old snapshot files each publish. OPT-IN (default None =
@@ -86,6 +94,7 @@ class IncrementalIndexer:
         self._seg_builder = make_seg_builder(
             spark, analyzer, field, with_positions,
             out_partitions=segments_per_batch, codec=self.codec,
+            positions_codec=self.pos_codec,
         )
 
     # ------------------------------------------------------------ manifest
@@ -100,6 +109,7 @@ class IncrementalIndexer:
                 with_positions=self.with_positions,
                 segments=[],
                 postings_codec=self.codec,
+                positions_codec=self.pos_codec,
             )
         return m
 
@@ -158,6 +168,7 @@ class IncrementalIndexer:
                 with_payloads=m.with_payloads,
                 commit_payload=m.commit_payload,
                 postings_codec=getattr(m, "postings_codec", "varint"),
+                positions_codec=getattr(m, "positions_codec", "varint"),
             ),
         )
         if self.retain_generations:

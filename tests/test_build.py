@@ -11,7 +11,6 @@ import pytest
 from pyspark.sql import functions as F
 
 from iresearch_spark.analysis import get_analyzer
-from iresearch_spark.codec import decode_positions, decode_postings
 from iresearch_spark.corpus import generate_corpus, make_corpus_pdf
 from iresearch_spark.index.build import build_index
 from iresearch_spark.index.manifest import read_manifest
@@ -63,7 +62,13 @@ def test_manifest_and_metrics(built):
 
 
 def test_postings_match_naive_index(spark, built):
+    from iresearch_spark.codec import postings_codec
+    from iresearch_spark.index.manifest import read_manifest as _rm
+
     index_dir, _ = built
+    man = _rm(index_dir)
+    cmod = postings_codec(man.postings_codec)
+    pos_mod = postings_codec(man.positions_codec)
     seg = spark.read.parquet(f"{index_dir}/segments").toPandas()
     expected, dls = _naive_index(make_corpus_pdf(N_DOCS, min_tokens=20, max_tokens=300))
 
@@ -75,12 +80,22 @@ def test_postings_match_naive_index(spark, built):
     for i in sample:
         row = seg.iloc[i]
         exp = expected[(row["segment_id"], row["term"])]
-        docs, freqs = decode_postings(row["postings"], row["docs_count"])
+        docs, freqs = cmod.decode_postings(
+            row["postings"],
+            row["docs_count"],
+            np.asarray(row["block_offsets"], dtype=np.int64),
+        )
         exp_docs = sorted(exp)
         assert docs.tolist() == exp_docs
         assert freqs.tolist() == [exp[d][0] for d in exp_docs]
         assert row["total_tf"] == sum(f for f, _ in exp.values())
-        flat_pos = decode_positions(row["positions"], freqs)
+        flat_pos = pos_mod.decode_positions(
+            row["positions"],
+            freqs,
+            np.asarray(row["pos_offsets"], dtype=np.int64)
+            if row["pos_offsets"] is not None
+            else None,
+        )
         exp_pos = [p for d in exp_docs for p in exp[d][1]]
         assert flat_pos.tolist() == exp_pos
         # blockmax invariants
