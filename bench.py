@@ -269,9 +269,21 @@ def run_codec_bytes(cpus: int) -> dict:
         t0 = time.perf_counter()
         m = build_index(spark, corpus, d, num_segments=cpus, codec=codec)
         sec = round(time.perf_counter() - t0, 4)
+        # positions (prox) stream bytes — packed also bit-packs these;
+        # not part of the build metrics, so measure off the segments table
+        from pyspark.sql import functions as F
+
+        pos_bytes = int(
+            spark.read.parquet(f"{d}/segments")
+            .agg(F.sum(F.length("positions")))
+            .collect()[0][0]
+            or 0
+        )
         out[codec] = {
             "postings_bytes": m["postings_bytes"],
             "bytes_per_doc": round(m["postings_bytes"] / n_docs, 2),
+            "positions_bytes": pos_bytes,
+            "positions_bytes_per_doc": round(pos_bytes / n_docs, 2),
             "build_sec": sec,
             "docs_per_sec": round(n_docs / sec, 2),
         }
@@ -279,6 +291,9 @@ def run_codec_bytes(cpus: int) -> dict:
     out["value"] = out["packed"]["bytes_per_doc"]
     out["packed_over_varint"] = round(
         out["packed"]["postings_bytes"] / out["varint"]["postings_bytes"], 4
+    )
+    out["positions_packed_over_varint"] = round(
+        out["packed"]["positions_bytes"] / out["varint"]["positions_bytes"], 4
     )
     shutil.rmtree(src, ignore_errors=True)
     spark.stop()

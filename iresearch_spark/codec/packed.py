@@ -506,6 +506,141 @@ def decode_positions(
     return cs - np.repeat(cs_before, freqs)
 
 
+def decode_positions_many(
+    blobs,
+    freqs: np.ndarray,
+    counts: np.ndarray,
+    offsets=None,
+) -> np.ndarray:
+    """Cross-row vectorized decode of MANY packed positions blobs — the
+    merge hot path (`merge.py` decodes an entire term bucket at once;
+    a per-row :func:`decode_positions` loop measured 3.2x slower).
+
+    - ``blobs``: sequence of per-row blobs; ``None`` rows yield zero
+      placeholders (mixed multi-field buckets where only the payload
+      field carries positions).
+    - ``freqs``: flat per-posting freqs, row-major (all rows concatenated).
+    - ``counts``: per-row posting counts (``sum(counts) == len(freqs)``).
+    - ``offsets``: optional sequence of per-row stored chunk offsets
+      (``pos_offsets``); rows without usable offsets are header-walked.
+
+    Returns the flat positions for all rows concatenated (zeros for
+    ``None`` rows), identical to a per-row decode loop. The chunk grid
+    restarts per row, so full chunks are collected per row (a short loop
+    over rows that HAVE >=128 occurrences — hot terms only) and then
+    width-group decoded globally; tails are gathered into ONE contiguous
+    varint buffer (varint streams concatenate) and decoded in a single
+    call. The final per-doc absolutization runs on the global delta array:
+    each doc's first delta is absolute, so the row/doc grid needs no
+    special-casing.
+    """
+    R = len(blobs)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    freqs = np.ascontiguousarray(freqs, dtype=np.int64)
+    post_cum = np.concatenate([[0], np.cumsum(counts)])
+    occ_cum = np.concatenate([[0], np.cumsum(freqs)])
+    total = int(occ_cum[-1])
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    row_occ_start = occ_cum[post_cum[:-1]]
+    row_occ = occ_cum[post_cum[1:]] - row_occ_start
+
+    present = np.fromiter(
+        (b is not None and len(b) > 0 for b in blobs), dtype=bool, count=R
+    )
+    present &= row_occ > 0
+    blob_len = np.fromiter(
+        (len(blobs[i]) if present[i] else 0 for i in range(R)),
+        dtype=np.int64,
+        count=R,
+    )
+    buf = np.frombuffer(
+        b"".join(blobs[i] for i in np.flatnonzero(present)), dtype=np.uint8
+    )
+    blob_start = np.zeros(R, dtype=np.int64)
+    blob_start[present] = (
+        np.concatenate([[0], np.cumsum(blob_len[present])])[:-1]
+    )
+
+    n_full = np.where(present, row_occ // BLOCK_SIZE, 0)
+    tail_occ = np.where(present, row_occ - n_full * BLOCK_SIZE, 0)
+
+    deltas = np.zeros(total, dtype=np.int64)
+
+    # ---- full chunks: per-row offset collection (hot-term rows only),
+    # then one width-grouped unpack over the global buffer
+    tail_off = np.zeros(R, dtype=np.int64)  # within-row byte offset
+    full_rows = np.flatnonzero(n_full > 0)
+    if full_rows.size:
+        chunk_abs_parts: list[np.ndarray] = []
+        chunk_dst_parts: list[np.ndarray] = []
+        for i in full_rows:
+            nf = int(n_full[i])
+            has_tail = tail_occ[i] > 0
+            offs_i = offsets[i] if offsets is not None else None
+            n_chunks = nf + (1 if has_tail else 0)
+            if offs_i is not None and len(offs_i) == n_chunks:
+                offs_row = np.ascontiguousarray(offs_i, dtype=np.int64)
+                tail_off[i] = offs_row[nf] if has_tail else blob_len[i]
+                offs_row = offs_row[:nf]
+            else:  # header-walk (offsets column absent or stale)
+                offs_row = np.empty(nf, dtype=np.int64)
+                o = 0
+                base = int(blob_start[i])
+                for k in range(nf):
+                    offs_row[k] = o
+                    o += 1 + 16 * int(buf[base + o])
+                tail_off[i] = o
+            chunk_abs_parts.append(blob_start[i] + offs_row)
+            chunk_dst_parts.append(
+                row_occ_start[i]
+                + BLOCK_SIZE * np.arange(nf, dtype=np.int64)
+            )
+        chunk_abs = np.concatenate(chunk_abs_parts)
+        chunk_dst = np.concatenate(chunk_dst_parts)
+        wd = buf[chunk_abs].astype(np.int64)
+        lane = np.arange(BLOCK_SIZE, dtype=np.int64)
+        for w in np.unique(wd):
+            grp = np.flatnonzero(wd == w)
+            src = (
+                chunk_abs[grp][:, None]
+                + 1
+                + np.arange(16 * int(w), dtype=np.int64)
+            )
+            deltas[chunk_dst[grp][:, None] + lane] = _unpack_group(
+                buf[src], int(w)
+            ).astype(np.int64)
+    else:
+        # no full chunks anywhere: every present blob is pure varint
+        tail_off[:] = 0
+
+    # ---- tails: gather byte ranges into one stream, decode once
+    tail_rows = np.flatnonzero(tail_occ > 0)
+    if tail_rows.size:
+        t_start = blob_start[tail_rows] + tail_off[tail_rows]
+        t_len = blob_len[tail_rows] - tail_off[tail_rows]
+        n_bytes = int(t_len.sum())
+        lcum = np.concatenate([[0], np.cumsum(t_len)])[:-1]
+        gather = (
+            np.repeat(t_start - lcum, t_len)
+            + np.arange(n_bytes, dtype=np.int64)
+        )
+        vals = decode_varints(buf[gather], int(tail_occ[tail_rows].sum()))
+        d_start = row_occ_start[tail_rows] + BLOCK_SIZE * n_full[tail_rows]
+        d_len = tail_occ[tail_rows]
+        dcum = np.concatenate([[0], np.cumsum(d_len)])[:-1]
+        dst = (
+            np.repeat(d_start - dcum, d_len)
+            + np.arange(int(d_len.sum()), dtype=np.int64)
+        )
+        deltas[dst] = vals.astype(np.int64)
+
+    doc_starts = occ_cum[:-1]
+    cs = np.cumsum(deltas)
+    cs_before = np.concatenate([[0], cs])[doc_starts]
+    return cs - np.repeat(cs_before, freqs)
+
+
 def decode_blocks(
     blob: bytes,
     block_offsets: np.ndarray,

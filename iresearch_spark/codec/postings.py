@@ -490,3 +490,35 @@ def decode_positions(
     # previous doc
     cs_before = np.concatenate([[0], cs])[doc_starts]
     return cs - np.repeat(cs_before, freqs)
+
+
+def decode_positions_many(
+    blobs,
+    freqs: np.ndarray,
+    counts: np.ndarray,
+    offsets=None,
+) -> np.ndarray:
+    """Decode MANY varint positions blobs in one call (packed-codec twin,
+    the merge hot path). Varint streams are self-delimiting, so present
+    rows concatenate into one decodable stream; ``None`` rows yield zero
+    placeholders. ``counts`` is the per-row posting count over the flat
+    row-major ``freqs``; ``offsets`` is ignored (signature symmetry)."""
+    R = len(blobs)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    freqs = np.ascontiguousarray(freqs, dtype=np.int64)
+    present = np.fromiter(
+        (b is not None and len(b) > 0 for b in blobs), dtype=bool, count=R
+    )
+    if present.all():
+        return decode_positions(b"".join(blobs), freqs)
+    total = int(freqs.sum())
+    out = np.zeros(total, dtype=np.int64)
+    if not present.any():
+        return out
+    post_mask = np.repeat(present, counts)
+    occ_mask = np.repeat(post_mask, freqs)
+    out[occ_mask] = decode_positions(
+        b"".join(blobs[i] for i in np.flatnonzero(present)),
+        freqs[post_mask],
+    )
+    return out

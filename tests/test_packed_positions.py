@@ -95,6 +95,44 @@ def test_packed_positions_smaller_on_dense_stream():
     assert len(pb[0]) < 0.85 * len(vb[0]), (len(pb[0]), len(vb[0]))
 
 
+@settings(max_examples=25, deadline=None)
+@given(position_streams(), st.randoms(use_true_random=False))
+def test_decode_positions_many_equals_per_row_loop(data, rnd):
+    """The merge hot path: cross-row vectorized decode == a per-row decode
+    loop, for BOTH codecs, with stored offsets, header-walking (packed),
+    and None placeholder rows mixed in."""
+    freqs, flat, nt = data
+    ts = np.concatenate([[0], np.cumsum(nt)])[:-1]
+    occ = np.concatenate([[0], np.cumsum(freqs)])
+    for mod in (V, P):
+        blobs, offs = mod.encode_positions_batch(freqs, flat, nt)
+        # per-row reference
+        exp_parts, occ_rs = [], []
+        for t in range(nt.size):
+            f_t = freqs[ts[t] : ts[t] + nt[t]]
+            occ_rs.append(int(occ[ts[t]]))
+            exp_parts.append(mod.decode_positions(blobs[t], f_t, offs[t]))
+        exp = np.concatenate(exp_parts)
+        got = mod.decode_positions_many(blobs, freqs, nt, offs)
+        assert np.array_equal(got, exp)
+        if mod is P:  # header-walk path (offsets column absent)
+            assert np.array_equal(
+                mod.decode_positions_many(blobs, freqs, nt, None), exp
+            )
+        # None placeholder rows decode to zeros through the permutation
+        none_at = {
+            t for t in range(nt.size) if rnd.random() < 0.4
+        } or {0}
+        mixed = [None if t in none_at else b for t, b in enumerate(blobs)]
+        exp2 = exp.copy()
+        for t in none_at:
+            o0 = int(occ[ts[t]])
+            o1 = int(occ[ts[t] + nt[t]])
+            exp2[o0:o1] = 0
+        got2 = mod.decode_positions_many(mixed, freqs, nt, offs)
+        assert np.array_equal(got2, exp2)
+
+
 # ------------------------------------------------------------ engine level
 
 
