@@ -159,7 +159,11 @@ def run_merge_bench(cpus: int) -> dict:
     the reference's consolidation driver). A second timed merge re-runs the
     largest fan-in with ``shard_docs``+``hot_term_bytes`` low enough that
     the hot-term solo buckets AND the giant-term shard escalation both
-    engage, and asserts they did (the plan-audit note)."""
+    engage, and asserts they did (the plan-audit note). Both codecs run
+    in ONE session (varint first, packed second) so their tier/full-merge
+    times are same-host-window comparable — the codec decode+re-encode is
+    the merge inner loop, and cross-session readings of it differ by the
+    documented window noise alone."""
     import pyspark.sql.functions as F
 
     from iresearch_spark.corpus import generate_corpus
@@ -176,70 +180,90 @@ def run_merge_bench(cpus: int) -> dict:
     generate_corpus(spark, n_docs, num_partitions=4 * cpus).write.parquet(src)
     corpus = spark.read.parquet(src)
 
-    def fresh_index(tag: str) -> str:
-        d = _fresh_dir(f"merge_{tag}")
-        build_index(spark, corpus, d, num_segments=n_segments)
+    def fresh_index(tag: str, codec: str) -> str:
+        d = _fresh_dir(f"merge_{tag}_{codec}")
+        build_index(spark, corpus, d, num_segments=n_segments, codec=codec)
         return d
 
-    # ---- tier-policy consolidation to quiescence (timed)
-    d = fresh_index("tier")
-    man0 = read_manifest(d)
-    bytes_in = sum(s["postings_bytes"] for s in man0.segments)
-    t0 = time.perf_counter()
-    recs = consolidate(spark, d, policy="tier")
-    tier_sec = round(time.perf_counter() - t0, 4)
-    man1 = read_manifest(d)
-    docs_merged = sum(r["docs"] for r in recs)
+    def one_codec(codec: str) -> dict:
+        # ---- tier-policy consolidation to quiescence (timed)
+        d = fresh_index("tier", codec)
+        man0 = read_manifest(d)
+        bytes_in = sum(s["postings_bytes"] for s in man0.segments)
+        t0 = time.perf_counter()
+        recs = consolidate(spark, d, policy="tier")
+        tier_sec = round(time.perf_counter() - t0, 4)
+        man1 = read_manifest(d)
+        docs_merged = sum(r["docs"] for r in recs)
+        leg = {
+            "segments_in": len(man0.segments),
+            "segments_out": len(man1.segments),
+            "rounds": len(recs),
+            "fan_ins": [r["fan_in"] for r in recs],
+            "docs_merged_total": docs_merged,
+            "postings_bytes_in": bytes_in,
+            "postings_bytes_out": sum(
+                s["postings_bytes"] for s in man1.segments
+            ),
+            "tier_consolidate_sec": tier_sec,
+            "tier_docs_per_sec": (
+                round(docs_merged / tier_sec, 2) if tier_sec else 0.0
+            ),
+        }
+        shutil.rmtree(d, ignore_errors=True)
+
+        # ---- full-index merge with hot-term/shard escalations forced on
+        # (plan audit: HOT_TERMS postings at 200k docs are ~all-docs lists,
+        # so a 1 MB hot threshold puts them in solo buckets and shard_docs
+        # splits their merged blobs into disjoint doc-range rows)
+        d = fresh_index("sharded", codec)
+        man0 = read_manifest(d)
+        seg_ids = [s["segment_id"] for s in man0.segments]
+        t0 = time.perf_counter()
+        rec = merge_segments(
+            spark, d, seg_ids, hot_term_bytes=1 << 20,
+            shard_docs=50_000,
+        )
+        shard_sec = round(time.perf_counter() - t0, 4)
+        seg = spark.read.parquet(f"{d}/segments").filter(
+            F.col("segment_id") == rec["new_segment_id"]
+        )
+        agg = seg.agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("field", "term").alias("terms"),
+        ).collect()[0]
+        sharded_terms = int(agg["rows"]) - int(agg["terms"])
+        assert sharded_terms > 0, "giant-term shard escalation did not engage"
+        leg.update(
+            {
+                "full_merge_fan_in": rec["fan_in"],
+                "full_merge_sec": shard_sec,
+                "full_merge_docs_per_sec": round(rec["docs"] / shard_sec, 2),
+                "sharded_terms": sharded_terms,
+            }
+        )
+        shutil.rmtree(d, ignore_errors=True)
+        return leg
+
+    legs = {codec: one_codec(codec) for codec in ("varint", "packed")}
     out = {
         "metric": "merge_docs_per_sec",
-        "value": round(docs_merged / tier_sec, 2) if tier_sec else 0.0,
+        "value": legs["packed"]["tier_docs_per_sec"],
         "unit": "docs/sec",
         "docs": n_docs,
-        "segments_in": len(man0.segments),
-        "segments_out": len(man1.segments),
-        "rounds": len(recs),
-        "fan_ins": [r["fan_in"] for r in recs],
-        "docs_merged_total": docs_merged,
-        "postings_bytes_in": bytes_in,
-        "postings_bytes_out": sum(
-            s["postings_bytes"] for s in man1.segments
-        ),
-        "tier_consolidate_sec": tier_sec,
         "cpus": cpus,
+        **legs,
+        "packed_over_varint_tier": round(
+            legs["packed"]["tier_consolidate_sec"]
+            / legs["varint"]["tier_consolidate_sec"],
+            4,
+        ),
+        "packed_over_varint_full": round(
+            legs["packed"]["full_merge_sec"]
+            / legs["varint"]["full_merge_sec"],
+            4,
+        ),
     }
-    shutil.rmtree(d, ignore_errors=True)
-
-    # ---- full-index merge with the hot-term/shard escalations forced on
-    # (plan audit: HOT_TERMS postings at 200k docs are ~all-docs lists, so
-    # a 1 MB hot threshold puts them in solo buckets and shard_docs splits
-    # their merged blobs into disjoint doc-range rows)
-    d = fresh_index("sharded")
-    man0 = read_manifest(d)
-    seg_ids = [s["segment_id"] for s in man0.segments]
-    t0 = time.perf_counter()
-    rec = merge_segments(
-        spark, d, seg_ids, hot_term_bytes=1 << 20,
-        shard_docs=50_000,
-    )
-    shard_sec = round(time.perf_counter() - t0, 4)
-    seg = spark.read.parquet(f"{d}/segments").filter(
-        F.col("segment_id") == rec["new_segment_id"]
-    )
-    agg = seg.agg(
-        F.count("*").alias("rows"),
-        F.countDistinct("field", "term").alias("terms"),
-    ).collect()[0]
-    sharded_terms = int(agg["rows"]) - int(agg["terms"])
-    assert sharded_terms > 0, "giant-term shard escalation did not engage"
-    out.update(
-        {
-            "full_merge_fan_in": rec["fan_in"],
-            "full_merge_sec": shard_sec,
-            "full_merge_docs_per_sec": round(rec["docs"] / shard_sec, 2),
-            "sharded_terms": sharded_terms,
-        }
-    )
-    shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(src, ignore_errors=True)
     spark.stop()
     return out
