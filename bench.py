@@ -272,7 +272,13 @@ def run_merge_bench(cpus: int) -> dict:
 def run_codec_bytes(cpus: int) -> dict:
     """Bytes-per-doc artifact for the posting-block codecs: the same corpus
     built under varint and packed; records postings bytes + build time for
-    each (the scan-bytes number that dominates 100 TB wall time)."""
+    each (the scan-bytes number that dominates 100 TB wall time). Builds
+    are INTERLEAVED varint/packed/varint/packed with min-of-2 build_sec
+    per codec: sequential legs once read a whole-window shift as a codec
+    effect (packed 47.8 s one session, 66.4 s the next, same code). Bytes
+    are deterministic; the repeat asserts that."""
+    from pyspark.sql import functions as F
+
     from iresearch_spark.corpus import generate_corpus
     from iresearch_spark.index.build import build_index
     from iresearch_spark.session import get_spark
@@ -288,30 +294,34 @@ def run_codec_bytes(cpus: int) -> dict:
         "docs": n_docs,
         "cpus": cpus,
     }
-    for codec in ("varint", "packed"):
-        d = _fresh_dir(f"codec_{codec}")
-        t0 = time.perf_counter()
-        m = build_index(spark, corpus, d, num_segments=cpus, codec=codec)
-        sec = round(time.perf_counter() - t0, 4)
-        # positions (prox) stream bytes — packed also bit-packs these;
-        # not part of the build metrics, so measure off the segments table
-        from pyspark.sql import functions as F
-
-        pos_bytes = int(
-            spark.read.parquet(f"{d}/segments")
-            .agg(F.sum(F.length("positions")))
-            .collect()[0][0]
-            or 0
-        )
-        out[codec] = {
-            "postings_bytes": m["postings_bytes"],
-            "bytes_per_doc": round(m["postings_bytes"] / n_docs, 2),
-            "positions_bytes": pos_bytes,
-            "positions_bytes_per_doc": round(pos_bytes / n_docs, 2),
-            "build_sec": sec,
-            "docs_per_sec": round(n_docs / sec, 2),
-        }
-        shutil.rmtree(d, ignore_errors=True)
+    for trial in range(2):
+        for codec in ("varint", "packed"):
+            d = _fresh_dir(f"codec_{codec}_{trial}")
+            t0 = time.perf_counter()
+            m = build_index(spark, corpus, d, num_segments=cpus, codec=codec)
+            sec = round(time.perf_counter() - t0, 4)
+            # positions (prox) stream bytes — packed also bit-packs these;
+            # not in the build metrics, so measure off the segments table
+            pos_bytes = int(
+                spark.read.parquet(f"{d}/segments")
+                .agg(F.sum(F.length("positions")))
+                .collect()[0][0]
+                or 0
+            )
+            shutil.rmtree(d, ignore_errors=True)
+            if codec in out:  # second trial: keep min time, pin bytes
+                prev = out[codec]
+                assert prev["postings_bytes"] == m["postings_bytes"], codec
+                assert prev["positions_bytes"] == pos_bytes, codec
+                sec = min(sec, prev["build_sec"])
+            out[codec] = {
+                "postings_bytes": m["postings_bytes"],
+                "bytes_per_doc": round(m["postings_bytes"] / n_docs, 2),
+                "positions_bytes": pos_bytes,
+                "positions_bytes_per_doc": round(pos_bytes / n_docs, 2),
+                "build_sec": sec,
+                "docs_per_sec": round(n_docs / sec, 2),
+            }
     out["value"] = out["packed"]["bytes_per_doc"]
     out["packed_over_varint"] = round(
         out["packed"]["postings_bytes"] / out["varint"]["postings_bytes"], 4
